@@ -1,0 +1,101 @@
+"""Repair routing policy — failure mode × tried-variants → next variant.
+
+Re-implements the reference's ``RepairRouter`` policy table
+(``src/socr/pipeline/repair.py:19-53,109-136,178-245``) over our kernel
+variants instead of subprocess engines.  The family/tier structure is kept
+so the policy matrix (reference tests/test_repair_router.py:154-247) remains
+exercisable:
+
+  variant      family    tiers
+  ---------    -------   ------------------------
+  layout       struct    capable
+  density      struct    capable
+  basic        plain     light
+  layout_alt   alt       capable, cloud-analog
+  raw          plain     light
+
+``layout_alt`` is the different-family escape hatch for hallucination-class
+failures; ``raw`` is the lightest kernel for timeout-class failures.
+"""
+
+from __future__ import annotations
+
+from smart_ocr_spark.kernel import audit
+
+# Ordered default fallback chain (the reference's config.fallback_chain +
+# primary + enabled, deduped in order: repair.py:183-208).
+DEFAULT_CHAIN = ["layout", "density", "basic", "layout_alt", "raw"]
+
+FAMILIES = {
+    "layout": "struct",
+    "density": "struct",
+    "basic": "plain",
+    "raw": "plain",
+    "layout_alt": "alt",
+}
+
+# Tier sets (reference repair.py:34-53).
+CLOUD_VARIANTS = {"layout_alt", "layout"}      # _CLOUD_ENGINES analog
+LIGHT_VARIANTS = ["basic", "raw"]              # _LIGHT_ENGINES analog
+CAPABLE_VARIANTS = ["layout", "density", "layout_alt"]  # _CAPABLE_ENGINES analog
+
+
+def candidates(tried: set[str], chain: list[str] | None = None) -> list[str]:
+    """Untried chain variants in order (reference repair.py:178-181)."""
+    return [v for v in (chain or DEFAULT_CHAIN) if v not in tried]
+
+
+def _pick_different_family(tried: set[str], cands: list[str]) -> str:
+    tried_families = {FAMILIES.get(v) for v in tried} - {None}
+    for v in cands:
+        fam = FAMILIES.get(v)
+        if fam and fam not in tried_families:
+            return v
+    return cands[0]
+
+
+def _pick_first_in(preferred, cands: list[str]) -> str:
+    for v in cands:
+        if v in preferred:
+            return v
+    return cands[0]
+
+
+def select_repair_variant(
+    failure_mode: str,
+    tried: set[str],
+    chain: list[str] | None = None,
+) -> str | None:
+    """Policy table (reference repair.py:109-136):
+
+    hallucination -> different family; refusal -> cloud tier;
+    garbage / low_word_count / truncated -> capable tier;
+    timeout -> light tier; otherwise first untried.  None when exhausted.
+    """
+    cands = candidates(tried, chain)
+    if not cands:
+        return None
+    if failure_mode == audit.HALLUCINATION:
+        return _pick_different_family(tried, cands)
+    if failure_mode == audit.REFUSAL:
+        return _pick_first_in(CLOUD_VARIANTS, cands)
+    if failure_mode in (audit.GARBAGE, audit.LOW_WORD_COUNT, audit.TRUNCATED):
+        return _pick_first_in(CAPABLE_VARIANTS, cands)
+    if failure_mode == audit.TIMEOUT:
+        return _pick_first_in(LIGHT_VARIANTS, cands)
+    return cands[0]
+
+
+def dominant_failure(attempt_failures: list[str]) -> str:
+    """Most recent non-NONE failure (reference repair.py:247-257); attempts
+    ordered by attempt index ascending.  EMPTY_OUTPUT when none."""
+    for mode in reversed(attempt_failures):
+        if mode and mode != audit.NONE:
+            return mode
+    return audit.EMPTY_OUTPUT
+
+
+def build_reason(failure: str, tried: set[str], variant: str) -> str:
+    """Human-readable routing note (reference repair.py:271-281)."""
+    tried_names = ", ".join(sorted(tried)) if tried else "none"
+    return f"failure={failure}, tried=[{tried_names}], selected={variant}"

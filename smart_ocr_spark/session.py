@@ -1,0 +1,89 @@
+"""SparkSession helpers: tuned builder + package shipping.
+
+``build_session`` applies the physical-execution defaults the pipeline
+assumes (AQE on, Arrow batches capped so one oversized blob cannot OOM a
+Python worker — SURVEY.md §4 O4/O9).
+
+``ensure_package_shipped`` zips this package and registers it via
+``sc.addPyFile`` so executor Python workers can import ``smart_ocr_spark``
+even when the driver didn't launch through ``spark-submit --py-files``.
+On a real cluster the packaged zip goes through ``--py-files`` (see
+``make_pyfiles_zip``); this helper makes local drivers equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the package for ``spark-submit --py-files``. Deterministic walk."""
+    if out_path is None:
+        out_path = os.path.join(
+            tempfile.gettempdir(), f"smart_ocr_spark-{os.getpid()}.zip"
+        )
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(_PKG_DIR):
+            dirs.sort()
+            if "__pycache__" in root:
+                continue
+            for fname in sorted(files):
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(
+                    "smart_ocr_spark", os.path.relpath(full, _PKG_DIR)
+                )
+                zf.write(full, rel)
+    return out_path
+
+
+def ensure_package_shipped(spark) -> None:
+    """Make ``smart_ocr_spark`` importable on executor Python workers."""
+    sc = spark.sparkContext
+    if getattr(sc, "_socr_pyfiles_shipped", False):
+        return
+    sc.addPyFile(make_pyfiles_zip())
+    sc._socr_pyfiles_shipped = True
+
+
+def build_session(
+    app_name: str = "smart_ocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 256,
+):
+    """Tuned local/cluster session.
+
+    ``arrow_max_records`` bounds rows per Arrow batch reaching the Python
+    extraction workers: payloads can be ~1 MB+ each, so small batches keep
+    worker memory flat regardless of blob size (O4: size-bucketed safety).
+    """
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
+        )
+        .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    ensure_package_shipped(spark)
+    return spark

@@ -1,0 +1,162 @@
+"""HTML kernel tests: tokenizer, DOM, boilerplate classifier, rendering."""
+
+from smart_ocr_spark.kernel.html_extract import (
+    classify_blocks,
+    decode_entities,
+    extract_html,
+    parse_html,
+    segment_blocks,
+    table_to_markdown,
+)
+
+
+def test_decode_entities():
+    assert decode_entities("a &amp; b &lt;c&gt;") == "a & b <c>"
+    assert decode_entities("&#65;&#x42;") == "AB"
+    assert decode_entities("&unknown;") == "&unknown;"
+    assert decode_entities("&#xD800;") == "�"
+
+
+def test_parse_basic_tree():
+    root = parse_html("<div><p>hello <b>bold</b></p></div>")
+    div = root.children[0]
+    assert div.tag == "div"
+    p = div.children[0]
+    assert p.tag == "p"
+    assert p.children[0].text == "hello "
+    assert p.children[1].tag == "b"
+
+
+def test_parse_unclosed_and_void():
+    root = parse_html("<p>one<p>two<br><img src=x>")
+    tags = [c.tag for c in root.children]
+    assert tags.count("p") == 2  # implicit close
+
+
+def test_script_style_swallowed():
+    text, _ = extract_html(
+        "<html><head><script>var x = '<p>fake</p>';</script>"
+        "<style>p{}</style></head><body><p>"
+        + "real content word " * 10
+        + "</p></body></html>"
+    )
+    assert "fake" not in text
+    assert "real content" in text
+
+
+def test_comments_ignored():
+    text, _ = extract_html("<body><!-- hidden --><p>" + "visible word " * 12 + "</p></body>")
+    assert "hidden" not in text
+
+
+def test_boilerplate_dropped():
+    html = (
+        "<body><nav><a href='/'>home</a> <a href='/x'>about</a></nav>"
+        "<p>" + "main article content word " * 10 + "</p>"
+        "<footer><a href='/'>contact</a></footer></body>"
+    )
+    text, _ = extract_html(html, "layout")
+    assert "main article" in text
+    assert "home" not in text
+    assert "contact" not in text
+
+
+def test_basic_variant_keeps_boilerplate():
+    html = (
+        "<body><nav>navigation links here</nav>"
+        "<p>" + "content word " * 10 + "</p></body>"
+    )
+    text, _ = extract_html(html, "basic")
+    assert "navigation links here" in text
+
+
+def test_link_farm_dropped_in_layout():
+    html = "<body><div>" + "".join(
+        f"<a href='/{i}'>link{i}</a> " for i in range(20)
+    ) + "</div></body>"
+    text, _ = extract_html(html, "layout")
+    assert text == ""
+
+
+def test_short_block_kept_near_content():
+    html = (
+        "<body><p>Short intro here with several words.</p>"
+        "<p>" + "long content word " * 15 + "</p></body>"
+    )
+    text, _ = extract_html(html, "layout")
+    assert "Short intro" in text
+
+
+def test_table_markdown():
+    md = table_to_markdown([["a", "b"], ["1", "2"], ["3"]])
+    assert md == "| a | b |\n| --- | --- |\n| 1 | 2 |\n| 3 |  |"
+
+
+def test_table_rendering_in_document():
+    html = (
+        "<body><p>" + "intro words here " * 10 + "</p>"
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table></body>"
+    )
+    text, signals = extract_html(html, "layout")
+    assert "| h1 | h2 |" in text
+    assert "| --- | --- |" in text
+    assert "| a | b |" in text
+    assert signals["has_tables"] is True
+
+
+def test_headings_and_lists():
+    html = (
+        "<body><h1>Title Here</h1><h2>Sub Part</h2>"
+        "<ul><li>first item words</li><li>second item words</li></ul>"
+        "<p>" + "body words " * 15 + "</p></body>"
+    )
+    text, _ = extract_html(html, "layout")
+    assert "# Title Here" in text
+    assert "## Sub Part" in text
+    assert "- first item words" in text
+
+
+def test_signals():
+    html = (
+        "<body><h1>T</h1><p>x</p><img src='a.png'>"
+        "<p>$$x^2$$ \\frac{a}{b}</p></body>"
+    )
+    _, signals = extract_html(html)
+    assert signals["has_equations"] is True
+    assert signals["has_figures"] is True
+    assert signals["n_images"] == 1
+
+
+def test_nested_inline_preserved():
+    text, _ = extract_html(
+        "<body><p>A <em>nested <strong>chain</strong></em> of "
+        + "inline tags word " * 8
+        + "</p></body>"
+    )
+    assert "A nested chain of" in text
+
+
+def test_entities_in_text():
+    text, _ = extract_html(
+        "<body><p>" + "filler word " * 12 + "a &amp; b &#233;</p></body>"
+    )
+    assert "a & b \u00e9" in text
+
+
+def test_density_variant_stricter():
+    # A block with link density between 0.20 and 0.333: layout keeps it,
+    # density drops it.
+    words = "word " * 30
+    linked = "<a href='/x'>linked text bits</a>"
+    html = f"<body><p>{words}{linked}</p></body>"
+    blocks = segment_blocks(parse_html(html))
+    ld = blocks[0].link_density
+    assert 0.0 < ld < 0.333
+    layout_keep = classify_blocks(blocks, "layout")
+    assert layout_keep[0] is True
+
+
+def test_malformed_html_no_crash():
+    for frag in ["<p>unclosed", "<<<>>>", "</close-only>", "<a href=>x", "", "<table><tr>"]:
+        extract_html(frag)  # must not raise
