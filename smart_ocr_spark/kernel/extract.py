@@ -1,0 +1,123 @@
+"""Unified per-payload extraction entry points for the batch UDF layer.
+
+One parse, all variants: ``extract_payload_full`` parses the payload once
+(HTML DOM build or PDF object walk) and renders both the ``basic`` (raw
+text-layer read, the reference's ``page.get_text("text")`` analog) and
+``layout`` (boilerplate-stripped structured markdown) variants from the same
+block list — the hot path touches each byte once (SURVEY.md §4: the whole
+pipeline is a single scan; repair re-parses only its small failed subset).
+
+``extract_payload_variant`` re-extracts one named variant for the repair
+loop (reference O5: selective repair re-runs only failed pages).
+"""
+
+from __future__ import annotations
+
+from smart_ocr_spark.kernel.html_extract import (
+    classify_blocks,
+    page_signals,
+    parse_html,
+    render_blocks,
+    segment_blocks,
+)
+from smart_ocr_spark.kernel.normalize import normalize_generic, strip_phantom_images
+from smart_ocr_spark.kernel.pdf_extract import PdfError, extract_pdf, sniff_pdf
+
+# Flat signal defaults shared by both payload kinds.
+_EMPTY_SIGNALS = {
+    "n_blocks": 0,
+    "n_tables": 0,
+    "n_headings": 0,
+    "n_lists": 0,
+    "total_chars": 0,
+    "link_density": 0.0,
+    "has_tables": False,
+    "has_equations": False,
+    "has_figures": False,
+    "n_images": 0,
+    "n_pages": 1,
+    "font_count": 0,
+    "column_count": 1,
+}
+
+
+def finalize_text(text: str) -> str:
+    """The per-attempt output contract: generic normalization then phantom
+    image strip (reference Phase 5, orchestrator.py:1210-1285)."""
+    return strip_phantom_images(normalize_generic(text))
+
+
+def extract_payload_full(payload: bytes) -> dict:
+    """Parse once; emit basic text, layout text, and signals.
+
+    Never raises: parse failures come back as ``parse_ok=False`` with the
+    error class in ``parse_error`` (reference O9 timeout-guard semantics —
+    a malformed row must not kill the task).
+    """
+    out = dict(_EMPTY_SIGNALS)
+    out.update(
+        {
+            "is_pdf": False,
+            "parse_ok": True,
+            "parse_error": "",
+            "basic_text": "",
+            "layout_text": "",
+        }
+    )
+    try:
+        if sniff_pdf(payload):
+            out["is_pdf"] = True
+            # One parse; page separator differs per variant.
+            layout_text, signals = extract_pdf(payload, "layout")
+            out["layout_text"] = finalize_text(layout_text)
+            out["basic_text"] = layout_text.replace("\n\n---\n\n", "\n\n")
+            for k, v in signals.items():
+                out[k] = v
+        else:
+            html = payload.decode("utf-8", "replace")
+            root = parse_html(html)
+            blocks = segment_blocks(root)
+            keep_layout = classify_blocks(blocks, "layout")
+            keep_basic = classify_blocks(blocks, "basic")
+            out["layout_text"] = finalize_text(
+                render_blocks(blocks, keep_layout, "layout")
+            )
+            out["basic_text"] = render_blocks(blocks, keep_basic, "basic")
+            for k, v in page_signals(blocks, html).items():
+                out[k] = v
+    except PdfError as exc:
+        out["parse_ok"] = False
+        out["parse_error"] = f"PdfError: {exc}"
+    except Exception as exc:  # malformed payloads must not kill the task
+        out["parse_ok"] = False
+        out["parse_error"] = f"{type(exc).__name__}: {exc}"
+    return out
+
+
+def extract_payload_variant(payload: bytes, variant: str) -> str | None:
+    """Single-variant re-extraction for repair attempts.
+
+    ``layout_alt`` is the different-family kernel: layout classification
+    with neighborhood smoothing disabled (keeps only solid content blocks).
+    Returns None on parse failure.
+    """
+    try:
+        if sniff_pdf(payload):
+            text, _ = extract_pdf(
+                payload, "basic" if variant in ("basic", "raw") else "layout"
+            )
+            return finalize_text(text) if variant not in ("basic", "raw") else text
+        html = payload.decode("utf-8", "replace")
+        root = parse_html(html)
+        blocks = segment_blocks(root)
+        if variant in ("basic", "raw"):
+            return render_blocks(blocks, classify_blocks(blocks, "basic"), "basic")
+        if variant == "layout_alt":
+            keep = classify_blocks(blocks, "density")
+            # alt family: render without markdown decoration but with the
+            # density-classified block set
+            return finalize_text(render_blocks(blocks, keep, "basic"))
+        keep = classify_blocks(blocks, variant)
+        return finalize_text(render_blocks(blocks, keep, variant))
+    except Exception:
+        return None

@@ -1,0 +1,493 @@
+"""Spark extraction operators: the socr pipeline phases as DataFrame ops.
+
+Design for scale (SURVEY.md §7.0):
+  * document-grain throughout — one row per url, attempts held as an
+    ARRAY<STRUCT> column, so the hot path has NO shuffle: scan -> single
+    mapInPandas parse -> column algebra -> (small) repair re-parse ->
+    write.  Payload bytes never cross a shuffle boundary.
+  * size-bucketed repartition before parsing (reference O4 / chunker
+    analog): oversized blobs are spread round-robin so one partition
+    doesn't serialize all the 1 MB+ payloads.
+  * everything JVM-expressible stays JVM-side (difficulty routing, status
+    rollups); Python only for the parse kernels and the regex batteries
+    that need backreferences/NFKC (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+AUDIT_FIELDS = [
+    StructField("audit_passed", BooleanType()),
+    StructField("primary_failure", StringType()),
+    StructField("failure_modes", ArrayType(StringType())),
+    StructField("failure_confidence", DoubleType()),
+    StructField("word_count", IntegerType()),
+    StructField("avg_word_len", DoubleType()),
+    StructField("garbage_ratio", DoubleType()),
+    StructField("has_structure", BooleanType()),
+]
+AUDIT_SCHEMA = StructType(AUDIT_FIELDS)
+
+ATTEMPT_SCHEMA = StructType(
+    [
+        StructField("attempt_idx", IntegerType()),
+        StructField("variant", StringType()),
+        StructField("text", StringType()),
+        StructField("escalated_from", StringType()),
+    ]
+    + AUDIT_FIELDS
+)
+
+FIRST_PASS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", StringType()),
+        StructField("lang", StringType()),
+        StructField("payload_size", LongType()),
+        StructField("is_pdf", BooleanType()),
+        StructField("parse_ok", BooleanType()),
+        StructField("parse_error", StringType()),
+        StructField("basic_text", StringType()),
+        StructField("layout_text", StringType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("n_tables", IntegerType()),
+        StructField("n_headings", IntegerType()),
+        StructField("n_lists", IntegerType()),
+        StructField("total_chars", LongType()),
+        StructField("link_density", DoubleType()),
+        StructField("has_tables", BooleanType()),
+        StructField("has_equations", BooleanType()),
+        StructField("has_figures", BooleanType()),
+        StructField("n_images", IntegerType()),
+        StructField("n_pages", IntegerType()),
+        StructField("font_count", IntegerType()),
+        StructField("column_count", IntegerType()),
+    ]
+)
+# The payload column ("html") is appended to this schema at runtime with the
+# input's own binary type: repair re-extraction needs the bytes without a
+# join back to the source table.
+
+ASSESS_SCHEMA = StructType(
+    [
+        StructField("is_born_digital", BooleanType()),
+        StructField("bd_confidence", DoubleType()),
+        StructField("char_count", IntegerType()),
+        StructField("bd_word_count", IntegerType()),
+        StructField("needs_ocr_enhancement", BooleanType()),
+        StructField("bd_notes", ArrayType(StringType())),
+    ]
+)
+
+SELECT_SCHEMA = StructType(
+    [
+        StructField("final_text", StringType()),
+        StructField("selected_variant", StringType()),
+        StructField("selected_idx", IntegerType()),
+        StructField("selection_rule", StringType()),
+        StructField("agreement", DoubleType()),
+    ]
+)
+
+BIG_BLOB_BYTES = 1 << 20  # >=1 MB payloads get spread explicitly (O4)
+
+
+def _audit_row(text: str, n_pages: int) -> dict:
+    from smart_ocr_spark.kernel import audit as audit_kernel
+
+    r = audit_kernel.check(text or "", expected_pages=n_pages)
+    return {
+        "audit_passed": r["audit_passed"],
+        "primary_failure": r["primary_failure"],
+        "failure_modes": r["failure_modes"],
+        "failure_confidence": r["failure_confidence"],
+        "word_count": r["word_count"],
+        "avg_word_len": r["avg_word_len"],
+        "garbage_ratio": r["garbage_ratio"],
+        "has_structure": r["has_structure"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phase 0: size-aware partitioning
+# ---------------------------------------------------------------------------
+
+
+def size_bucketed(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread rows so oversized payloads don't skew partitions.
+
+    The reference chunks >30-page PDFs to bound per-call latency (O4); the
+    Spark analog is making partition cost uniform: repartition by a salted
+    composite of size-bucket and url hash.  AQE cannot rebalance a
+    *pre-shuffle* map stage, so this explicit spread is the one shuffle we
+    accept when payload skew is present — it moves bytes once and bounds
+    the straggler tail of the parse stage.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(
+        n,
+        F.floor(F.length("html") / F.lit(BIG_BLOB_BYTES)),
+        F.crc32(F.col("url").cast("string")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: single-parse extraction (basic + layout + signals)
+# ---------------------------------------------------------------------------
+
+
+def first_pass(df: DataFrame) -> DataFrame:
+    """documents(url, warc_ts, html, lang) -> flat extraction frame.
+
+    One Arrow batch pass; payload bytes stay in the row (needed by repair)
+    but are parsed exactly once here.
+    """
+    schema = StructType(
+        list(FIRST_PASS_SCHEMA.fields)
+        + [StructField("html", df.schema["html"].dataType)]
+    )
+
+    def run(batches):
+        from smart_ocr_spark.kernel.extract import extract_payload_full
+
+        for pdf in batches:
+            out = []
+            for url, ts, payload, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                r = extract_payload_full(b)
+                out.append(
+                    (
+                        url,
+                        str(ts),
+                        lang,
+                        len(b),
+                        r["is_pdf"],
+                        r["parse_ok"],
+                        r["parse_error"],
+                        r["basic_text"],
+                        r["layout_text"],
+                        r["n_blocks"],
+                        r["n_tables"],
+                        r["n_headings"],
+                        r["n_lists"],
+                        r["total_chars"],
+                        r["link_density"],
+                        r["has_tables"],
+                        r["has_equations"],
+                        r["has_figures"],
+                        r["n_images"],
+                        r["n_pages"],
+                        r["font_count"],
+                        r["column_count"],
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1b: assessment + difficulty (JVM-side where possible)
+# ---------------------------------------------------------------------------
+
+
+def with_assessment(df: DataFrame) -> DataFrame:
+    """Born-digital assessment over the basic text layer (P1-P13).
+
+    ``native_text`` is the layout rendering (the structured extraction the
+    reference substitutes when tables are present, born_digital.py:369-375;
+    for PDFs the page-separated assembly, state.py:148).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ASSESS_SCHEMA)
+    def assess_udf(
+        basic_text: pd.Series,
+        font_count: pd.Series,
+        has_images: pd.Series,
+        has_tables: pd.Series,
+        has_equations: pd.Series,
+    ) -> pd.DataFrame:
+        from smart_ocr_spark.kernel.assess import assess_page
+
+        rows = []
+        for text, fc, hi, ht, he in zip(
+            basic_text, font_count, has_images, has_tables, has_equations
+        ):
+            r = assess_page(
+                text or "",
+                font_count=int(fc),
+                has_images=bool(hi),
+                has_tables=bool(ht),
+                has_equations=bool(he),
+            )
+            rows.append(
+                (
+                    r["is_born_digital"],
+                    r["confidence"],
+                    r["char_count"],
+                    r["word_count"],
+                    r["needs_ocr_enhancement"],
+                    r["notes"],
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[f.name for f in ASSESS_SCHEMA.fields]
+        )
+
+    df = df.withColumn(
+        "assess",
+        assess_udf("basic_text", "font_count", "has_figures", "has_tables", "has_equations"),
+    ).select("*", "assess.*").drop("assess")
+    return df.withColumn(
+        "native_text",
+        F.when(F.col("is_born_digital"), F.col("layout_text")).otherwise(F.lit("")),
+    )
+
+
+def difficulty_col() -> Column:
+    """EASY/HARD routing as a pure column expression (difficulty.py:50-165).
+
+    JVM-side ``when`` chain — whole-stage codegen, no Python."""
+    from smart_ocr_spark.kernel import assess as A
+
+    return (
+        F.when(F.col("has_tables") | F.col("has_equations"), F.lit(A.HARD))
+        .when(F.col("column_count") > A.MAX_COLUMNS_EASY, F.lit(A.HARD))
+        .when(F.col("n_images") > A.MAX_IMAGES_EASY, F.lit(A.HARD))
+        .when(F.col("n_blocks") > A.MAX_TEXT_BLOCKS_EASY, F.lit(A.HARD))
+        .when(
+            (F.col("n_blocks") < A.MIN_TEXT_BLOCKS_EASY) & (F.col("n_images") > 0),
+            F.lit(A.HARD),
+        )
+        .otherwise(F.lit(A.EASY))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 2/3: attempts + audit
+# ---------------------------------------------------------------------------
+
+
+def audit_udf_factory():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(AUDIT_SCHEMA)
+    def audit_udf(text: pd.Series, n_pages: pd.Series) -> pd.DataFrame:
+        rows = [_audit_row(t, int(p)) for t, p in zip(text, n_pages)]
+        return pd.DataFrame(rows, columns=[f.name for f in AUDIT_SCHEMA.fields])
+
+    return audit_udf
+
+
+def with_primary_attempt(df: DataFrame) -> DataFrame:
+    """Attempt 0 = the layout kernel output, audited."""
+    audit_udf = audit_udf_factory()
+    df = df.withColumn("audit0", audit_udf("layout_text", "n_pages"))
+    attempt0 = F.struct(
+        F.lit(0).alias("attempt_idx"),
+        F.lit("layout").alias("variant"),
+        F.col("layout_text").alias("text"),
+        F.lit("").alias("escalated_from"),
+        *[F.col(f"audit0.{f.name}").alias(f.name) for f in AUDIT_FIELDS],
+    )
+    return df.withColumn("attempts", F.array(attempt0)).drop("audit0")
+
+
+def with_enhancement_attempt(df: DataFrame) -> DataFrame:
+    """Complex born-digital docs get one extra kernel attempt (the
+    needs_ocr_enhancement path, reference orchestrator.py:450-511): the
+    ``density`` variant, tagged with escalated_from='layout'.
+
+    Runs only on the filtered subset (selective computation, O2/O5); the
+    rest of the corpus passes through untouched.
+    """
+    needs = F.col("needs_ocr_enhancement") & F.col("parse_ok")
+    enhanced = _apply_variant_attempt(
+        df.filter(needs), variant_expr=F.lit("density"), escalated_from="layout"
+    )
+    return df.filter(~needs).unionByName(enhanced)
+
+
+def _apply_variant_attempt(
+    df: DataFrame, variant_expr: Column, escalated_from: str = ""
+) -> DataFrame:
+    """Append one re-extraction attempt (given per-row variant) to
+    ``attempts``.  Re-parses payloads — callers must pre-filter to the
+    small subset that needs it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def reextract_udf(payload: pd.Series, variant: pd.Series) -> pd.Series:
+        from smart_ocr_spark.kernel.extract import extract_payload_variant
+
+        return pd.Series(
+            [
+                extract_payload_variant(bytes(p) if p is not None else b"", v)
+                for p, v in zip(payload, variant)
+            ]
+        )
+
+    audit_udf = audit_udf_factory()
+    df = df.withColumn("_variant", variant_expr)
+    df = df.withColumn("_new_text", reextract_udf("html", "_variant"))
+    df = df.withColumn("_new_audit", audit_udf("_new_text", "n_pages"))
+    new_attempt = F.struct(
+        F.size("attempts").cast("int").alias("attempt_idx"),
+        F.col("_variant").alias("variant"),
+        F.coalesce(F.col("_new_text"), F.lit("")).alias("text"),
+        F.lit(escalated_from).alias("escalated_from"),
+        *[F.col(f"_new_audit.{f.name}").alias(f.name) for f in AUDIT_FIELDS],
+    )
+    return df.withColumn(
+        "attempts", F.concat(F.col("attempts"), F.array(new_attempt))
+    ).drop("_variant", "_new_text", "_new_audit")
+
+
+# ---------------------------------------------------------------------------
+# Phase 4: selective repair loop
+# ---------------------------------------------------------------------------
+
+
+def needs_repair_col() -> Column:
+    """Document-grain needs_repair (reference state.py:37-57 + the
+    legitimate-empty rule): no passing attempt, not covered by born-digital
+    native text, and the source actually has extractable content."""
+    any_passing = F.exists("attempts", lambda a: a["audit_passed"])
+    bd_covered = F.col("is_born_digital") & (F.length("native_text") > 0)
+    has_content = (F.col("total_chars") > 0) & (F.col("link_density") <= 0.8)
+    return ~any_passing & ~bd_covered & has_content & F.col("parse_ok")
+
+
+def repair_round(df: DataFrame) -> DataFrame:
+    """One repair iteration (reference repair loop, orchestrator.py:897-1110):
+    failed docs pick the next variant via the routing policy and re-extract.
+    Docs whose chain is exhausted pass through unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def route_udf(attempts: pd.Series) -> pd.Series:
+        from smart_ocr_spark.kernel import repair as repair_kernel
+
+        out = []
+        for atts in attempts:
+            failures = [a["primary_failure"] for a in atts]
+            tried = {a["variant"] for a in atts}
+            dominant = repair_kernel.dominant_failure(failures)
+            out.append(repair_kernel.select_repair_variant(dominant, tried))
+        return pd.Series(out)
+
+    needing = df.filter(needs_repair_col()).withColumn(
+        "_route", route_udf("attempts")
+    )
+    exhausted = needing.filter(F.col("_route").isNull()).drop("_route")
+    repairable = needing.filter(F.col("_route").isNotNull())
+    repaired = _apply_variant_attempt(
+        repairable.withColumnRenamed("_route", "_routed"),
+        variant_expr=F.col("_routed"),
+    ).drop("_routed")
+    return (
+        df.filter(~needs_repair_col())
+        .unionByName(exhausted)
+        .unionByName(repaired)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 4b/5: consensus selection + assembly
+# ---------------------------------------------------------------------------
+
+
+def with_selection(df: DataFrame) -> DataFrame:
+    """Final text selection ladder (reference state.py:111-148 + phase 4b
+    consensus, consensus.py:483-520):
+
+      1. first passing attempt by attempt_idx (state.py:92-94),
+      2. else born-digital native text,
+      3. else consensus winner among attempts (grounded against native
+         when present, ungrounded otherwise; ties -> lowest attempt_idx),
+      4. else empty.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(SELECT_SCHEMA)
+    def select_udf(
+        attempts: pd.Series, native_text: pd.Series, is_bd: pd.Series
+    ) -> pd.DataFrame:
+        from smart_ocr_spark.kernel import score as score_kernel
+
+        rows = []
+        for atts, native, bd in zip(attempts, native_text, is_bd):
+            atts = list(atts)
+            native = native or ""
+            agreement = score_kernel.pairwise_agreement(
+                [a["text"] for a in atts if (a["text"] or "").strip()]
+            )
+            passing = [a for a in atts if a["audit_passed"]]
+            if passing:
+                best = min(passing, key=lambda a: a["attempt_idx"])
+                rows.append(
+                    (best["text"], best["variant"], best["attempt_idx"],
+                     "first_passing", agreement)
+                )
+                continue
+            if bd and native:
+                rows.append((native, "native", -1, "native_text", agreement))
+                continue
+            if atts:
+                scored = [
+                    (
+                        -score_kernel.score_attempt(
+                            a["text"] or "",
+                            bool(a["audit_passed"]),
+                            int(a["word_count"] or 0),
+                            float(a["failure_confidence"] or 0.0),
+                            native,
+                        ),
+                        a["attempt_idx"],
+                        a,
+                    )
+                    for a in atts
+                ]
+                scored.sort(key=lambda t: (t[0], t[1]))
+                best = scored[0][2]
+                rows.append(
+                    (best["text"] or "", best["variant"], best["attempt_idx"],
+                     "consensus", agreement)
+                )
+                continue
+            rows.append(("", "", -1, "empty", 1.0))
+        return pd.DataFrame(
+            rows, columns=[f.name for f in SELECT_SCHEMA.fields]
+        )
+
+    df = df.withColumn(
+        "sel", select_udf("attempts", "native_text", "is_born_digital")
+    ).select("*", "sel.*").drop("sel")
+    return df.withColumn(
+        "status",
+        F.when(~F.col("parse_ok"), F.lit("failed_parse"))
+        .when(F.col("selection_rule") == "first_passing", F.lit("success"))
+        .when(F.col("selection_rule") == "native_text", F.lit("success_native"))
+        .when(F.length("final_text") > 0, F.lit("partial"))
+        .otherwise(F.lit("empty")),
+    )

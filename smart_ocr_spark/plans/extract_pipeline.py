@@ -1,0 +1,108 @@
+"""The full extraction pipeline: the reference's 5-phase lifecycle
+(``src/socr/pipeline/orchestrator.py:74-142``) as a bounded DataFrame
+transform.
+
+Phases (reference mapping):
+  0. size-bucketed repartition            (O4; chunker analog)
+  1. single-parse extraction + assessment (Phase 1 Analyze; P1-P18)
+  2. primary attempt + difficulty routing (Phase 2 Backbone; O1/O2)
+  2b. enhancement attempt for complex born-digital docs (orchestrator
+      needs_ocr_enhancement path)
+  3. audit columns                        (Phase 3 Score; Q1-Q12)
+  4. bounded repair loop, <= max_retries  (Phase 4; O5; config.py:107)
+  4b/5. consensus selection + assembly    (Phase 4b/5; state.py:111-148)
+
+The driver-side loop mirrors the reference's control flow
+(SURVEY.md §3.3); each round materializes via persist so the expensive
+parse stage never recomputes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from smart_ocr_spark.operators import extract as ops
+
+RESULT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "final_text",
+    "status",
+    "selected_variant",
+    "selected_idx",
+    "selection_rule",
+    "agreement",
+    "attempts",
+    "is_born_digital",
+    "bd_confidence",
+    "needs_ocr_enhancement",
+    "difficulty",
+    "is_pdf",
+    "parse_ok",
+    "parse_error",
+    "payload_size",
+    "n_pages",
+    "n_tables",
+    "n_headings",
+    "link_density",
+    "total_chars",
+]
+
+MAX_RETRIES_DEFAULT = 2  # reference core/config.py:107
+
+
+def run_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    max_retries: int = MAX_RETRIES_DEFAULT,
+    repartition: bool = True,
+) -> DataFrame:
+    """documents(url, warc_ts, html, lang[, text]) -> results frame.
+
+    Returns one row per url with ``final_text`` (the byte-identical
+    contract column), attempts lineage, and routing metadata.
+    """
+    df = documents.select("url", "warc_ts", "html", "lang")
+    if repartition:
+        df = ops.size_bucketed(df)
+
+    df = ops.first_pass(df)
+    df = ops.with_assessment(df)
+    df = df.withColumn("difficulty", ops.difficulty_col())
+    df = ops.with_primary_attempt(df)
+    df = ops.with_enhancement_attempt(df)
+
+    # The parse stage is the expensive one; materialize before looping.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_retries):
+        # Early exit when nothing needs repair (cheap aggregate probe —
+        # reference orchestrator loop condition).
+        if df.filter(ops.needs_repair_col()).limit(1).count() == 0:
+            break
+        repaired = ops.repair_round(df).persist(StorageLevel.MEMORY_AND_DISK)
+        repaired.count()  # materialize before unpersisting the parent
+        df.unpersist()
+        df = repaired
+
+    df = ops.with_selection(df)
+    return df.select(*RESULT_COLUMNS)
+
+
+def results_for_write(df: DataFrame) -> DataFrame:
+    """Projection written to the results table (drops lineage payloads)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "final_text",
+        "status",
+        "selected_variant",
+        F.size("attempts").alias("n_attempts"),
+        "difficulty",
+        "is_pdf",
+        "payload_size",
+    )

@@ -1,0 +1,101 @@
+"""End-to-end Spark pipeline test: byte-identical final_text per url on the
+synthetic corpus, plus routing/status expectations per fixture class."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_ocr_spark.plans.extract_pipeline import run_extraction
+from smart_ocr_spark.sources.corpus import corpus_df
+
+N_DOCS = 250
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    docs = corpus_df(spark, N_DOCS, seed=42)
+    res = run_extraction(spark, docs).persist()
+    golden = docs.select("url", F.col("text").alias("golden"))
+    joined = res.join(golden, "url").persist()
+    yield joined
+    joined.unpersist()
+    res.unpersist()
+
+
+def test_row_count(results):
+    assert results.count() == N_DOCS
+
+
+def test_byte_identical_final_text(results):
+    mismatches = results.filter(F.col("final_text") != F.col("golden"))
+    rows = mismatches.select("url", "status", "selection_rule").limit(5).collect()
+    assert mismatches.count() == 0, f"mismatches: {rows}"
+
+
+def test_no_parse_failures_on_synthetic_corpus(results):
+    assert results.filter(~F.col("parse_ok")).count() == 0
+
+
+def test_class_routing(results):
+    # zh prose legitimately fails the reference's Latin-centric avg-word-
+    # length band (born_digital.py:127: CJK "words" are 1-2 chars), so the
+    # born-digital expectation applies to non-zh rows only.
+    cls = results.filter(F.col("lang") != "zh").withColumn(
+        "cls", F.split("url", "/").getItem(3)
+    )
+    by = {
+        r["cls"]: r
+        for r in cls.groupBy("cls")
+        .agg(
+            F.sum(F.col("is_born_digital").cast("int")).alias("bd"),
+            F.count("*").alias("n"),
+            F.sum((F.col("difficulty") == "hard").cast("int")).alias("hard"),
+            F.sum((F.col("status") == "empty").cast("int")).alias("empty"),
+            F.max(F.size("attempts")).alias("max_attempts"),
+        )
+        .collect()
+    }
+    # prose is born-digital and easy
+    assert by["prose"]["bd"] == by["prose"]["n"]
+    # tables force HARD difficulty
+    if "table" in by:
+        assert by["table"]["hard"] == by["table"]["n"]
+    # link farms resolve to empty without repair churn
+    if "links" in by:
+        assert by["links"]["empty"] == by["links"]["n"]
+        assert by["links"]["max_attempts"] == 1
+    # cid docs exercised the repair loop (>1 attempt)
+    if "cid" in by:
+        assert by["cid"]["max_attempts"] >= 2
+
+
+def test_enhancement_attempt_for_tables(results):
+    tables = results.filter(
+        F.col("url").contains("/table/") & F.col("needs_ocr_enhancement")
+    )
+    if tables.count():
+        # enhancement adds a density attempt, but first_passing still
+        # selects the layout attempt (attempt_idx 0)
+        row = tables.select("attempts", "selected_idx", "selection_rule").first()
+        assert len(row["attempts"]) >= 2
+        assert row["attempts"][1]["variant"] == "density"
+        assert row["selected_idx"] == 0
+        assert row["selection_rule"] == "first_passing"
+
+
+def test_statuses_sane(results):
+    statuses = {r["status"] for r in results.select("status").distinct().collect()}
+    assert statuses <= {"success", "success_native", "partial", "empty"}
+
+
+def test_deterministic_across_parallelism(spark):
+    """Byte-identical output must not depend on partitioning (SURVEY §7.3)."""
+    docs = corpus_df(spark, 60, seed=42)
+    a = {
+        r["url"]: r["final_text"]
+        for r in run_extraction(spark, docs.repartition(2)).collect()
+    }
+    b = {
+        r["url"]: r["final_text"]
+        for r in run_extraction(spark, docs.repartition(16)).collect()
+    }
+    assert a == b
