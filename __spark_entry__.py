@@ -1,38 +1,841 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one named DataFrame program per implemented
+operator family from SURVEY.md §2 plus the training-data additions
+(dedup / similarity / text analysis / multimodal); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Parity conventions (pinned so Spark and DuckDB value-hash identically):
+  * money sums: per-row ``floor(x*100)`` → BIGINT cents, summed exactly
+    (double summation order is engine-dependent; bigint sums are not).
+  * doubles that must appear: derived from exact sums, rounded to 4.
+  * windows: total-order sort keys covering every output column.
+  * timestamps: emitted as ``unix_micros`` BIGINT, never raw timestamps.
+  * tokens: ``filter(split(lower(text), '\\s+'), x -> x <> '')`` on both
+    sides; 1-based indexing (element_at / DuckDB lists) for shingles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ship(spark: SparkSession) -> None:
+    from smart_ocr_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+
+def _cents(col) -> F.Column:
+    return F.floor(col * 100).cast("bigint")
+
+
+def _wrapped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → the input_hint corpus shape (url, warc_ts,
+    html BINARY, lang): deterministic HTML wrapping of the text column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 5-phase extraction pipeline on sf0.001, rolled up
+    per language (SURVEY.md §7.1 step 3)."""
+    _ship(spark)
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+
+    wrapped = _wrapped_docs(spark, "/root/testdata/sf0.001")
+    res = run_extraction(spark, wrapped)
+    return (
+        res.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("status").startswith("success"), 1).otherwise(0)).alias(
+                "n_success"
+            ),
+            F.sum(
+                F.expr("cast(exists(attempts, a -> a.audit_passed) as int)")
+            ).alias("n_audit_pass"),
+            F.round(F.avg("total_chars"), 2).alias("avg_chars"),
+            F.round(F.avg("agreement"), 4).alias("avg_agreement"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator queries (SURVEY.md §2 families on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1/A5 aggregation rollup (audit/benchmark summary analog).
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_anti_join_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1/O3 incremental-skip: left anti-join against the "completed" set.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        "c_custkey", "c_name", _cents(F.col("c_acctbal")).alias("acctbal_cents")
+    )
+
+
+def q_window_first_passing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2/J1 first-passing-attempt window (state.py:92-94 analog).
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 25)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+def q_argmax_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1 consensus argmax (consensus.py:402-405 analog).
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("best_partkey"),
+            _cents(F.col("l_extendedprice")).alias("best_price_cents"),
+        )
+    )
+
+
+def q_topk_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2 top-3-by-score (consensus.py:444-445 analog).
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "l_returnflag",
+            "rk",
+            "l_orderkey",
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+
+
+def q_union_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J7 escalation union with tier tagging (orchestrator.py:500-511).
+    orders = _t(spark, sf_dir, "orders")
+    hard = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("hard").alias("tier"), _cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    esc = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)
+    ).select(
+        "o_orderkey", F.lit("escalated").alias("tier"), _cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    return hard.unionByName(esc)
+
+
+def q_selfjoin_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 all-pairs agreement self-join keyed by document (url ↔ orderkey).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(b, "l_orderkey").where(
+        F.col("a.l_linenumber") < F.col("b.l_linenumber")
+    )
+    return pairs.groupBy(F.col("a.l_returnflag").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.avg(
+                F.abs(
+                    _cents(F.col("a.l_extendedprice"))
+                    - _cents(F.col("b.l_extendedprice"))
+                )
+            ),
+            4,
+        ).alias("avg_absdiff_cents"),
+    )
+
+
+def q_ordered_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 order-sensitive assembly concat (state.py:111-148 analog).
+    li = _t(spark, sf_dir, "lineitem")
+    sortable = F.expr(
+        """
+        named_struct(
+          'ln', l_linenumber, 'pk', l_partkey, 'sk', l_suppkey,
+          'pc', cast(floor(l_extendedprice*100) as bigint), 'qt', l_quantity)
+        """
+    )
+    return (
+        li.withColumn("s", sortable)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["pk"].cast("string")
+                ),
+                "|",
+            ).alias("parts_concat"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_fanout_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 chunk fan-out (core/chunker.py:29-108 analog; chunk size 10).
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn("n_chunks", F.ceil(F.col("p_size") / F.lit(10.0)).cast("int"))
+        .select(
+            "p_partkey",
+            "p_size",
+            F.explode(F.sequence(F.lit(1), F.col("n_chunks"))).alias("chunk_id"),
+        )
+        .withColumn("chunk_start", (F.col("chunk_id") - 1) * 10 + 1)
+        .withColumn("chunk_end", F.least(F.col("chunk_id") * 10, F.col("p_size")))
+        .select("p_partkey", "chunk_id", "chunk_start", "chunk_end")
+    )
+
+
+def q_join_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2/J6 small-dimension equi-joins — dims broadcast explicitly.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PRIORITY = {"error": 6, "purchase": 5, "signup": 4, "click": 3, "view": 2}
+
+
+def _priority_col(c) -> F.Column:
+    expr = F.lit(1)
+    for k, v in sorted(_PRIORITY.items()):
+        expr = F.when(c == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def q_classify_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 failure-mode priority classification (audit/scorer.py:82-151).
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "priority", _priority_col(F.col("event_type"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("priority"), "event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("priority").alias("max_priority"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("primary_mode"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6/O12 checkpoint upsert: latest state row per key wins.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            _cents(F.col("value")).alias("last_value_cents"),
+            # parquet timestamps surface as TIMESTAMP_NTZ; the cast to
+            # LTZ uses the session tz (UTC) so unix_micros == DuckDB's
+            # naive epoch_us.
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        )
+    )
+
+
+def q_setop_untried(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1/U2 untried-candidate set difference (repair.py:178-208).
+    ev = _t(spark, sf_dir, "events")
+    all_types = ev.select(
+        F.array_sort(F.collect_set("event_type")).alias("all_types")
+    )
+    used = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("used")
+    )
+    return used.crossJoin(F.broadcast(all_types)).select(
+        "user_id",
+        F.array_join(F.array_except(F.col("all_types"), F.col("used")), ",").alias(
+            "untried_csv"
+        ),
+        F.size("used").alias("n_used"),
+    )
+
+
+def q_score_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N14/N15 Levenshtein + NES scoring (benchmark/scorer.py:87-145).
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    ).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+            F.levenshtein(F.col("text"), F.col("text_b")).cast("bigint").alias("lev"),
+            F.round(
+                1
+                - F.levenshtein(F.col("text"), F.col("text_b"))
+                / F.greatest(F.length("text"), F.length("text_b")).cast("double"),
+                4,
+            ).alias("nes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.with_token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "token_count", "char_count", "avg_token_len"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "score_zh", "score_en", "score_es", "score_de", "score_fr",
+        "predicted_lang",
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "garbage_ratio", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.with_bag_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "bag_fingerprint"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import similarity
+
+    _ship(spark)
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical-text contract: the REAL 5-phase pipeline over
+    the HTML-wrapped corpus must reproduce every document's text exactly
+    (north rule invariant; verified against the identity oracle)."""
+    _ship(spark)
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+
+    res = run_extraction(spark, _wrapped_docs(spark, sf_dir))
+    return res.select(
+        F.col("url").cast("bigint").alias("doc_id"), F.col("final_text")
+    )
+
+
+# --- rows-only queries (no SQL-expressible oracle; driver records weaker
+# rows-only checks — each is pinned by its own pytest instead) ---
+
+
+def q_extract_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+
+    res = run_extraction(spark, _wrapped_docs(spark, sf_dir))
+    return (
+        res.groupBy("lang", "status", "selected_variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.expr("cast(exists(attempts, a -> a.audit_passed) as int)")
+            ).alias("n_audit_pass"),
+        )
+        .orderBy("lang", "status", "selected_variant")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import similarity
+
+    _ship(spark)
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=8)
+
+
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import multimodal
+
+    _ship(spark)
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("media://"), F.col("doc_id")).alias("url"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return multimodal.extract_media_meta(media)
+
+
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.with_winnow_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "winnow_fp"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator families (SURVEY.md §2)
+        "rollup_pricing": q_rollup_pricing,
+        "anti_join_skip": q_anti_join_skip,
+        "window_first_passing": q_window_first_passing,
+        "argmax_consensus": q_argmax_consensus,
+        "topk_attempts": q_topk_attempts,
+        "union_escalation": q_union_escalation,
+        "selfjoin_pairwise": q_selfjoin_pairwise,
+        "ordered_assembly": q_ordered_assembly,
+        "fanout_chunk": q_fanout_chunk,
+        "join_broadcast_rollup": q_join_broadcast_rollup,
+        "classify_priority": q_classify_priority,
+        "merge_latest_state": q_merge_latest_state,
+        "setop_untried": q_setop_untried,
+        "score_levenshtein": q_score_levenshtein,
+        # training-data pipeline
+        "text_token_stats": q_text_token_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash16": q_dedup_simhash16,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # the extraction engine itself
+        "extract_roundtrip": q_extract_roundtrip,
+        # rows-only (non-SQL-expressible; pinned by pytest golden tests)
+        "extract_pipeline_report": q_extract_pipeline_report,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "multimodal_meta": q_multimodal_meta,
+        "text_winnow_fingerprint": q_text_winnow_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3 THEN
+             list_transform(generate_series(1, len(t) - 2),
+                            i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+           ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+"""
+
+
+def _minhash_oracle() -> str:
+    sigs = ",\n    ".join(
+        f"min(md5(concat('{s}:', shingle))) AS sig_{s}" for s in range(8)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id)
+SELECT doc_id, sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7,
+       md5(concat(sig_0, sig_1, sig_2, sig_3)) AS band_0,
+       md5(concat(sig_4, sig_5, sig_6, sig_7)) AS band_1
+FROM sig
+"""
+
+
+def _lang_id_oracle() -> str:
+    marker_exprs = []
+    from smart_ocr_spark.functions.text_analysis import LANG_MARKERS
+
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+        )
+        marker_exprs.append(f"CAST({parts} AS BIGINT) AS score_{lang}")
+    marker_exprs.append(
+        "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT)"
+        " AS score_zh"
+    )
+    scores = ",\n    ".join(marker_exprs)
+    # argmax with fixed priority order zh > en > es > de > fr, 'und' if all 0
+    return f"""
+WITH s AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, score_zh, score_en, score_es, score_de, score_fr,
+  CASE WHEN greatest(score_zh, score_en, score_es, score_de, score_fr) <= 0
+       THEN 'und'
+       WHEN score_zh >= score_en AND score_zh >= score_es
+            AND score_zh >= score_de AND score_zh >= score_fr THEN 'zh'
+       WHEN score_en >= score_es AND score_en >= score_de
+            AND score_en >= score_fr THEN 'en'
+       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+       WHEN score_de >= score_fr THEN 'de'
+       ELSE 'fr' END AS predicted_lang
+FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+    AS sum_disc_cents,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "anti_join_skip": """
+SELECT c_custkey, c_name, CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+        "window_first_passing": """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+    row_number() OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+  FROM lineitem WHERE l_quantity >= 25)
+WHERE rn = 1
+""",
+        "argmax_consensus": """
+SELECT l_orderkey, l_partkey AS best_partkey,
+       CAST(floor(l_extendedprice*100) AS BIGINT) AS best_price_cents FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+    ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem)
+WHERE rn = 1
+""",
+        "topk_attempts": """
+SELECT l_returnflag, CAST(rk AS INT) AS rk, l_orderkey,
+       CAST(floor(l_extendedprice*100) AS BIGINT) AS price_cents FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey,
+             l_suppkey) AS rk
+  FROM lineitem)
+WHERE rk <= 3
+""",
+        "union_escalation": """
+SELECT o_orderkey, 'hard' AS tier, CAST(floor(o_totalprice*100) AS BIGINT)
+  AS price_cents FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, 'escalated' AS tier, CAST(floor(o_totalprice*100) AS BIGINT)
+  AS price_cents FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+""",
+        "selfjoin_pairwise": """
+SELECT a.l_returnflag AS l_returnflag, count(*) AS n_pairs,
+  round(avg(abs(CAST(floor(a.l_extendedprice*100) AS BIGINT)
+              - CAST(floor(b.l_extendedprice*100) AS BIGINT))), 4)
+    AS avg_absdiff_cents
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+GROUP BY a.l_returnflag
+""",
+        "ordered_assembly": """
+SELECT l_orderkey,
+  string_agg(CAST(l_partkey AS VARCHAR), '|'
+    ORDER BY l_linenumber, l_partkey, l_suppkey,
+             CAST(floor(l_extendedprice*100) AS BIGINT), l_quantity)
+    AS parts_concat,
+  count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+""",
+        "fanout_chunk": """
+SELECT p_partkey, CAST(chunk_id AS INT) AS chunk_id,
+       CAST((chunk_id-1)*10 + 1 AS INT) AS chunk_start,
+       CAST(least(chunk_id*10, p_size) AS INT) AS chunk_end
+FROM (SELECT p_partkey, p_size,
+        unnest(generate_series(1, CAST(ceil(p_size/10.0) AS INT))) AS chunk_id
+      FROM part)
+""",
+        "join_broadcast_rollup": """
+SELECT r_name,
+  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "classify_priority": """
+WITH p AS (
+  SELECT user_id, event_type,
+    CASE event_type WHEN 'error' THEN 6 WHEN 'purchase' THEN 5
+      WHEN 'signup' THEN 4 WHEN 'click' THEN 3 WHEN 'view' THEN 2
+      ELSE 1 END AS priority
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY priority DESC, event_type) AS rn FROM p)
+SELECT user_id, max(priority) AS max_priority,
+       max(CASE WHEN rn = 1 THEN event_type END) AS primary_mode,
+       count(*) AS n_events
+FROM r GROUP BY user_id
+""",
+        "merge_latest_state": """
+SELECT user_id, event_type AS last_event_type,
+       CAST(floor(value*100) AS BIGINT) AS last_value_cents,
+       epoch_us(ts) AS last_ts_us FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+""",
+        "setop_untried": """
+WITH all_t AS (SELECT list_sort(list(DISTINCT event_type)) AS all_types FROM events),
+used AS (SELECT user_id, list_sort(list(DISTINCT event_type)) AS used
+         FROM events GROUP BY user_id)
+SELECT user_id,
+  coalesce(
+    array_to_string(list_filter(all_types, x -> NOT list_contains(used, x)), ','),
+    '') AS untried_csv,
+  CAST(len(used) AS INT) AS n_used
+FROM used CROSS JOIN all_t
+""",
+        "score_levenshtein": """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+  round(1 - levenshtein(a.text, b.text)
+          / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 4) AS nes
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+""",
+        "text_token_stats": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS token_count,
+  CAST(length(text) AS BIGINT) AS char_count,
+  round(CASE WHEN len(toks) > 0 THEN
+    CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+         AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS avg_token_len
+FROM t
+""",
+        "text_lang_id": _lang_id_oracle(),
+        "text_quality": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks,
+  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+m AS (SELECT doc_id, toks, n_chars,
+  CASE WHEN n_chars > 0 THEN
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s.,;:!?''"()-]', '', 'g'))
+      AS DOUBLE) / n_chars ELSE 1.0 END AS garbage,
+  CASE WHEN n_chars > 0 THEN
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / n_chars
+    ELSE 0.0 END AS punct,
+  len(regexp_extract_all(lower(text), '\\bthe\\b'))
+  + len(regexp_extract_all(lower(text), '\\ba\\b'))
+  + len(regexp_extract_all(lower(text), '\\ban\\b'))
+  + len(regexp_extract_all(lower(text), '\\bof\\b'))
+  + len(regexp_extract_all(lower(text), '\\bto\\b'))
+  + len(regexp_extract_all(lower(text), '\\band\\b'))
+  + len(regexp_extract_all(lower(text), '\\bin\\b'))
+  + len(regexp_extract_all(lower(text), '\\bis\\b'))
+  + len(regexp_extract_all(lower(text), '\\bit\\b')) AS stop_hits
+  FROM t)
+SELECT doc_id, round(garbage, 4) AS garbage_ratio, round(punct, 4) AS punct_ratio,
+  round(CASE WHEN len(toks) > 0 THEN stop_hits / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END, 4) AS stopword_ratio,
+  round(
+    0.4 * least(len(toks) / 100.0, 1.0)
+    + 0.3 * (1.0 - least(garbage * 5, 1.0))
+    + 0.2 * least(CASE WHEN len(toks) > 0 THEN stop_hits / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END * 4, 1.0)
+    + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS quality_score
+FROM m
+""",
+        "text_fingerprint": f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+    AS bag_fingerprint
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+  round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) AS jaccard
+FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
+""",
+        "dedup_minhash": _minhash_oracle(),
+        "dedup_simhash16": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS w FROM tok GROUP BY doc_id, tok),
+bits AS (
+  SELECT doc_id, i,
+    sum(CASE WHEN substr(md5(tok), i, 1) >= '8' THEN w ELSE -w END) AS s
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i)
+  GROUP BY doc_id, i)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT)
+    AS simhash16
+FROM bits GROUP BY doc_id
+""",
+        "ann_cosine_topk": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+p AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.nrm > 0 AND c.nrm > 0),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nbr_id ASC) AS rank FROM p)
+SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, round(cos, 4) AS cosine
+FROM r WHERE rank <= 5
+""",
+        "extract_roundtrip": """
+SELECT doc_id, text AS final_text FROM documents
+""",
+    }

@@ -1,0 +1,336 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the point of each variant at 100 TB):
+  * exact        — one shuffle on md5(text); map-side partial agg.
+  * ngram-jaccard— exact pairwise similarity; O(pairs) — only viable
+                   after LSH candidate generation. Provided standalone
+                   for small corpora / verification oracles.
+  * minhash+LSH  — the scale path: per-doc signature (map-only), band
+                   buckets, shuffle keyed by band bucket (bounded fan-in),
+                   candidate pairs verified by signature agreement.
+  * simhash      — 16-bit JVM-expressible variant (oracle-checkable) and
+                   a 64-bit Arrow-batched variant; near-dup = small
+                   Hamming distance.
+
+Every Spark construct here is JVM column algebra except the 64-bit
+simhash (pandas UDF). Shingle/tokenize conventions are pinned to match
+the DuckDB oracle SQL in __spark_entry__ exactly (1-based element_at,
+space-joined 3-gram shingles over lowercased whitespace tokens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+N_MINHASH = 8  # signature length
+N_BANDS = 2  # LSH bands (4 rows per band)
+SHINGLE_K = 3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (min) id and the duplicate count. Single shuffle on the
+    hash; partial aggregation runs map-side."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row per distinct text (the min-id row)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: str = "text", k: int = SHINGLE_K):
+    """Distinct k-gram word shingles. 1-based element_at to mirror the
+    DuckDB oracle's 1-based list indexing token for token."""
+    parts = ", ".join(f"element_at(__toks, i + {j})" for j in range(k))
+    return F.expr(
+        f"""
+        CASE WHEN size(__toks) >= {k} THEN
+          array_distinct(transform(
+            sequence(1, size(__toks) - {k - 1}),
+            i -> concat_ws(' ', {parts})))
+        ELSE array() END
+        """
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != F.lit(""))
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("shingles", shingles_col(text_col, k))
+        .drop("__toks")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        with_shingles(df, text_col, k)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard pairwise dedup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index self-join on shingle (shuffle keyed by shingle) →
+    shared counts → join per-doc set sizes (broadcast-able) → filter.
+    At scale, run on LSH candidates instead of the full corpus.
+    """
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Per-doc MinHash signature + band keys, all JVM-side.
+
+    Hash family: md5(seed ':' shingle); min over the doc's distinct
+    shingles per seed (min of a lowercase-hex string = min of the hash).
+    Bands: md5 over contiguous signature slices. Map-only aside from one
+    groupBy(id) — no pairwise work.
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = exploded_shingles(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig_{s}")
+        for s in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        sig = sig.withColumn(f"band_{b}", F.md5(F.concat(*cols)))
+    return sig
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Docs sharing any band bucket. Shuffle keyed by band value; the
+    per-bucket fan-in is what bounds the pair explosion at scale."""
+    buckets = None
+    for b in range(n_bands):
+        part = sig.select(
+            F.col(id_col), F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")).alias("bucket")
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(b_, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
+    candidate pairs → exact Jaccard verification on candidates only."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    subset = df.join(cand_ids, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(subset, threshold, id_col, text_col)
+    return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash, fully JVM-expressible (oracle-checkable).
+
+    Bit i (1..16) = sign of sum over tokens of freq * (+1 if hex digit i
+    of md5(token) >= '8' else -1). Lexicographic '>=' on one hex char is
+    exactly the high bit of the nibble, identically in Spark and DuckDB.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != F.lit(""))
+    tok_freq = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit_rows = tok_freq.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+        F.col("w"),
+        F.col("h"),
+    ).withColumn(
+        "contrib",
+        F.when(F.substring(F.col("h"), F.col("i"), 1) >= "8", F.col("w")).otherwise(
+            -F.col("w")
+        ),
+    )
+    return (
+        bit_rows.groupBy(id_col, "i")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") >= 0,
+                    F.expr("shiftleft(cast(1 as bigint), i - 1)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash16")
+        )
+    )
+
+
+def _simhash64_one(text: str) -> int:
+    from collections import Counter
+
+    weights = Counter((text or "").lower().split())
+    acc = [0] * 64
+    for tok, w in weights.items():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += w if (h >> i) & 1 else -w
+    v = 0
+    for i in range(64):
+        if acc[i] >= 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v  # two's-complement into int64
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash64_one).astype("int64")
+
+
+def with_simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash64", simhash64_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance.
+
+    Scale path: block on 4 x 16-bit chunks (pigeonhole — any pair within
+    Hamming<=3 of 64 bits shares at least one exact 16-bit chunk), join
+    per chunk, verify with bit_count. Avoids the N^2 self-join.
+    """
+    hashed = with_simhash64(df, text_col).select(id_col, "simhash64")
+    chunks = None
+    for c in range(4):
+        part = hashed.select(
+            F.col(id_col),
+            F.col("simhash64"),
+            F.expr(
+                f"concat('{c}:', cast((shiftrightunsigned(simhash64, {c * 16})"
+                " & cast(65535 as bigint)) as string))"
+            ).alias("chunk"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, "chunk")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis columns over a document corpus.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — the per-document scalar battery a training-data
+pipeline runs before filtering/dedup (reference analog: the audit
+heuristics battery, ``src/socr/audit/heuristics.py:85-221``, applied to
+corpus curation instead of OCR output).
+
+All of these stay JVM-side (whole-stage codegen) except the winnowing
+fingerprint, which needs a rolling hash and runs as an Arrow-batched
+pandas UDF. At 100 TB these are embarrassingly parallel map columns:
+no shuffle, filters push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+# CJK unified ideographs. Java regex syntax (Spark); the DuckDB/RE2
+# equivalent is [\x{4e00}-\x{9fff}] — see __spark_entry__.oracle_sql.
+_CJK_RE_JAVA = "[\\u4e00-\\u9fff]"
+
+# Tiny high-frequency stopword sets per language: enough signal for a
+# deterministic n-gram-style heuristic without model weights.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["los", "las", "datos", "de", "una"],
+    "de": ["die", "der", "und", "das", "ein"],
+    "fr": ["le", "la", "les", "des", "une"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "to", "and", "in", "is", "it"]
+
+
+def _word_bounded(word: str) -> str:
+    # \b is identical in Java regex and RE2 for ASCII words.
+    return f"\\b{word}\\b"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (parity contract: the DuckDB
+    oracle uses list_filter(regexp_split_to_array(lower(x),'\\s+'),...))."""
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count / char_count / avg_token_len columns (pure codegen)."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.withColumn("token_count", F.size(toks).cast("bigint"))
+        .withColumn("char_count", F.length(F.col(text_col)).cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.when(
+                    F.size(toks) > 0,
+                    F.aggregate(
+                        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+                    )
+                    / F.size(toks),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit counts per language + CJK char count."""
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        hits = None
+        for w in words:
+            c = F.regexp_count(F.lower(text), F.lit(_word_bounded(w)))
+            hits = c if hits is None else hits + c
+        scores[lang] = hits.cast("bigint")
+    scores["zh"] = F.regexp_count(text, F.lit(_CJK_RE_JAVA)).cast("bigint")
+    return scores
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic n-gram/stopword language-ID heuristic.
+
+    argmax over marker-hit counts; ties broken by fixed language order
+    (zh > en > es > de > fr) so the result is total-order deterministic.
+    """
+    s = lang_scores(F.col(text_col))
+    order = ["zh", "en", "es", "de", "fr"]
+    best = F.lit("und")
+    best_score = F.lit(-1).cast("bigint")
+    # Build a priority-ordered argmax: strictly-greater keeps the earlier
+    # (higher-priority) language on ties.
+    expr_lang, expr_score = best, best_score
+    for lang in order:
+        cond = s[lang] > expr_score
+        expr_lang = F.when(cond, F.lit(lang)).otherwise(expr_lang)
+        expr_score = F.when(cond, s[lang]).otherwise(expr_score)
+    out = df
+    for lang in order:
+        out = out.withColumn(f"score_{lang}", s[lang])
+    return out.withColumn(
+        "predicted_lang",
+        F.when(expr_score <= 0, F.lit("und")).otherwise(expr_lang),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality composite.
+
+    Mirrors the reference audit metrics repurposed for corpus curation:
+    word-count floor (heuristics.py:142-151), garbage ceiling
+    (heuristics.py:182-190), word-length band (heuristics.py:168-176).
+    Score in [0,1]; all plain column algebra.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        c = F.regexp_count(F.lower(text), F.lit(_word_bounded(w)))
+        stop_hits = c if stop_hits is None else stop_hits + c
+    garbage = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s.,;:!?'\"()-]", ""))
+        / n_chars.cast("double"),
+    ).otherwise(F.lit(1.0))
+    punct = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, "[^.,;:!?]", "")) / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    length_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(garbage * 5, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct * 5, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("garbage_ratio", F.round(garbage, 4))
+        .withColumn("punct_ratio", F.round(punct, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token list. Cheap exact near-dup key robust to shuffling/word order."""
+    toks = tokens_col(F.col(text_col))
+    return df.withColumn(
+        "bag_fingerprint",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (rolling hash) — needs Python; Arrow-batched.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 5  # k-gram length (chars)
+_WINNOW_W = 4  # window size
+
+
+def _winnow_one(text: str) -> int:
+    """Winnowing (Schleimer et al., SIGMOD'03): min hash per sliding
+    window of k-gram hashes, XOR-folded to one 63-bit fingerprint."""
+    s = "".join((text or "").lower().split())
+    if len(s) < _WINNOW_K:
+        h = hashlib.md5(s.encode("utf-8")).digest()
+        return int.from_bytes(h[:8], "big") >> 1
+    grams = [
+        int.from_bytes(
+            hashlib.md5(s[i : i + _WINNOW_K].encode("utf-8")).digest()[:8], "big"
+        )
+        for i in range(len(s) - _WINNOW_K + 1)
+    ]
+    selected: set[int] = set()
+    for i in range(max(len(grams) - _WINNOW_W + 1, 1)):
+        selected.add(min(grams[i : i + _WINNOW_W]))
+    fp = 0
+    for g in sorted(selected):
+        fp ^= g * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
+    return fp >> 1
+
+
+@F.pandas_udf(LongType())
+def winnow_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(_winnow_one).astype("int64")
+
+
+def with_winnow_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("winnow_fp", winnow_fingerprint_udf(F.col(text_col)))

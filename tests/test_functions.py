@@ -1,0 +1,189 @@
+"""Tests for the training-data pipeline functions (dedup / similarity /
+text analysis / multimodal) on planted fixtures where the right answer
+is known by construction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_ocr_spark.functions import dedup, multimodal, similarity, text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),  # exact dup of 0
+        (2, base + " again", "en"),  # near dup of 0
+        (3, "completely different words about spark shuffle partitions and joins", "en"),
+        (4, "los datos de la tabla y los datos de una consulta", "es"),
+        (5, "一 二 三 四 五 六 七 八 九 十 中文 文本", "zh"),
+        (6, "x", "en"),  # degenerate: one token
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_canon = {r.canonical_id: r.dup_count for r in groups}
+    assert by_canon[0] == 2  # docs 0 and 1
+    assert len(groups) == 6  # 7 rows, one pair collapsed
+    kept = dedup.exact_dedup(docs).select("doc_id").toPandas().doc_id.tolist()
+    assert 0 in kept and 1 not in kept and len(kept) == 6
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in got  # exact dup -> jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all(r.jaccard >= 0.5 for r in pairs)
+    exact = [r for r in pairs if (r.doc_a, r.doc_b) == (0, 1)][0]
+    assert exact.jaccard == 1.0
+
+
+def test_minhash_lsh_pipeline(docs):
+    sig = dedup.minhash_signatures(docs)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    # exact dups share the full signature; near-dups share some mins
+    assert all(rows[0][f"sig_{i}"] == rows[1][f"sig_{i}"] for i in range(8))
+    assert rows[0]["band_0"] == rows[1]["band_0"]
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_simhash_variants(docs):
+    h16 = {r.doc_id: r.simhash16 for r in dedup.simhash16(docs).collect()}
+    assert h16[0] == h16[1]  # identical text -> identical hash
+    assert 0 <= h16[0] < (1 << 16)
+    h64 = {
+        r.doc_id: r.simhash64
+        for r in dedup.with_simhash64(docs).select("doc_id", "simhash64").collect()
+    }
+    assert h64[0] == h64[1]
+    assert h64[0] != h64[3]
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=10)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+
+
+def test_token_stats_and_fingerprint(docs):
+    out = ta.with_token_stats(docs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[6].token_count == 1
+    assert by_id[0].token_count == 14
+    fp = {r.doc_id: r.bag_fingerprint for r in ta.with_bag_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    wf = {r.doc_id: r.winnow_fp for r in ta.with_winnow_fingerprint(docs).collect()}
+    assert wf[0] == wf[1]
+    assert isinstance(wf[0], int)
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.predicted_lang for r in ta.with_lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "es"
+    assert out[5] == "zh"
+    assert out[6] == "und"  # no markers
+
+
+def test_quality_score_bounds(docs):
+    out = ta.with_quality_score(docs).collect()
+    for r in out:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.garbage_ratio <= 1.0
+    by_id = {r.doc_id: r for r in out}
+    # prose beats the one-char degenerate doc
+    assert by_id[0].quality_score > by_id[6].quality_score
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    # 3 tight clusters of 4 + 2 loners, 8-dim
+    import math
+
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = [math.sin(c * 7 + d) for d in range(8)]
+        for j in range(4):
+            vec = [v + 0.01 * j * ((d % 2) * 2 - 1) for d, v in enumerate(base)]
+            rows.append((vid, [float(x) for x in vec], c))
+            vid += 1
+    rows.append((vid, [float(d == 0) for d in range(8)], 99))
+    rows.append((vid + 1, [float(d == 7) for d in range(8)], 98))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_finds_cluster(embeddings):
+    out = similarity.cosine_topk(embeddings, k=3).collect()
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    # for clustered vectors, all top-3 neighbors are from the same cluster
+    for r in out:
+        if labels[r.query_id] in (0, 1, 2):
+            assert labels[r.nbr_id] == labels[r.query_id], r
+    ranks = [r.rank for r in out if r.query_id == 0]
+    assert sorted(ranks) == [1, 2, 3]
+
+
+def test_lsh_topk_recall(embeddings):
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(embeddings, k=2).collect()
+    }
+    approx = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.lsh_topk(
+            embeddings, k=2, dim=8, n_planes=4, n_tables=3
+        ).collect()
+    }
+    # tight clusters land in the same bucket: high recall expected
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, (recall, exact - approx)
+
+
+def test_cosine_near_dup_pairs(embeddings):
+    pairs = similarity.cosine_near_dup_pairs(embeddings, threshold=0.999).collect()
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    assert pairs, "tight clusters must produce near-dup pairs"
+    for r in pairs:
+        assert labels[r.vec_a] == labels[r.vec_b]
+
+
+def test_multimodal_meta_and_features(spark):
+    rows = [
+        ("u1", "image", b"\x89PNG\r\n" + b"x" * 100),
+        ("u2", "image", b"\xff\xd8\xff\xe0" + b"y" * 50),
+        ("u3", "video", b"\x00\x00\x00\x18ftyp" + b"z" * 3000),
+        ("u4", "audio", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    meta = {r.url: r for r in multimodal.extract_media_meta(media).collect()}
+    assert meta["u1"].format == "png"
+    assert meta["u2"].format == "jpeg"
+    assert meta["u3"].format == "mp4ish"
+    assert meta["u4"].format == "empty" and meta["u4"].byte_size == 0
+    feats = {r.url: r.feature for r in multimodal.media_features(media, dim=16).collect()}
+    assert len(feats["u1"]) == 16
+    assert all(-1.0 <= x <= 1.0 for x in feats["u1"])
+    # deterministic: same payload -> same feature
+    feats2 = {r.url: r.feature for r in multimodal.media_features(media, dim=16).collect()}
+    assert feats == feats2
+    frames = multimodal.frame_sample(media, every_n_bytes=1024).collect()
+    per_url = {}
+    for r in frames:
+        per_url.setdefault(r.url, []).append(r.frame_idx)
+    assert len(per_url["u3"]) == 2  # 3008 bytes // 1024
+    assert per_url["u4"] == [0]  # empty payload -> 1 stub frame
+
+
+def test_media_features_real_decode_raises(spark):
+    media = spark.createDataFrame(
+        [("u1", "image", b"\x89PNG")], schema=multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        multimodal.media_features(media, fake=False).collect()
