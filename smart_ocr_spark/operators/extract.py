@@ -205,6 +205,111 @@ def first_pass(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def fused_first_pass(df: DataFrame) -> DataFrame:
+    """Phases 1-2b in ONE Arrow pass: parse + assessment + audited
+    primary attempt + conditional enhancement attempt.
+
+    The staged formulation (first_pass → with_assessment →
+    with_primary_attempt → with_enhancement_attempt) is kept for
+    testability, but each extra pandas-UDF pass pays Arrow
+    serialization of the whole row (payload + attempts array) plus a
+    Python worker hop — measured ~10x the actual kernel cost at sf0.1.
+    The kernels themselves are pure functions, so fusing them is purely
+    a physical-plan change: identical columns, identical values.
+    """
+    schema = StructType(
+        list(FIRST_PASS_SCHEMA.fields)
+        + list(ASSESS_SCHEMA.fields)
+        + [
+            StructField("native_text", StringType()),
+            StructField("attempts", ArrayType(ATTEMPT_SCHEMA)),
+            StructField("html", df.schema["html"].dataType),
+        ]
+    )
+    col_names = [f.name for f in schema.fields]
+
+    def run(batches):
+        from smart_ocr_spark.kernel.assess import assess_page
+        from smart_ocr_spark.kernel.extract import (
+            extract_payload_full,
+            extract_payload_variant,
+        )
+
+        for pdf in batches:
+            out = []
+            for url, ts, payload, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                r = extract_payload_full(b)
+                a = assess_page(
+                    r["basic_text"] or "",
+                    font_count=int(r["font_count"]),
+                    has_images=bool(r["has_figures"]),
+                    has_tables=bool(r["has_tables"]),
+                    has_equations=bool(r["has_equations"]),
+                )
+                native = r["layout_text"] if a["is_born_digital"] else ""
+                attempts = [
+                    dict(
+                        attempt_idx=0,
+                        variant="layout",
+                        text=r["layout_text"],
+                        escalated_from="",
+                        **_audit_row(r["layout_text"], r["n_pages"]),
+                    )
+                ]
+                if a["needs_ocr_enhancement"] and r["parse_ok"]:
+                    enh = extract_payload_variant(b, "density")
+                    attempts.append(
+                        dict(
+                            attempt_idx=1,
+                            variant="density",
+                            text=enh or "",
+                            escalated_from="layout",
+                            **_audit_row(enh, r["n_pages"]),
+                        )
+                    )
+                out.append(
+                    (
+                        url,
+                        str(ts),
+                        lang,
+                        len(b),
+                        r["is_pdf"],
+                        r["parse_ok"],
+                        r["parse_error"],
+                        r["basic_text"],
+                        r["layout_text"],
+                        r["n_blocks"],
+                        r["n_tables"],
+                        r["n_headings"],
+                        r["n_lists"],
+                        r["total_chars"],
+                        r["link_density"],
+                        r["has_tables"],
+                        r["has_equations"],
+                        r["has_figures"],
+                        r["n_images"],
+                        r["n_pages"],
+                        r["font_count"],
+                        r["column_count"],
+                        a["is_born_digital"],
+                        a["confidence"],
+                        a["char_count"],
+                        a["word_count"],
+                        a["needs_ocr_enhancement"],
+                        a["notes"],
+                        native,
+                        attempts,
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(out, columns=col_names)
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Phase 1b: assessment + difficulty (JVM-side where possible)
 # ---------------------------------------------------------------------------
@@ -318,22 +423,26 @@ def with_enhancement_attempt(df: DataFrame) -> DataFrame:
     needs_ocr_enhancement path, reference orchestrator.py:450-511): the
     ``density`` variant, tagged with escalated_from='layout'.
 
-    Runs only on the filtered subset (selective computation, O2/O5); the
-    rest of the corpus passes through untouched.
+    Single conditional map pass: rows not needing enhancement carry a
+    null variant and skip the kernel inside the batch.  (A filter/union
+    formulation would scan the un-cached parse chain once per branch —
+    measured 2x the whole pipeline cost at sf0.1.)
     """
     needs = F.col("needs_ocr_enhancement") & F.col("parse_ok")
-    enhanced = _apply_variant_attempt(
-        df.filter(needs), variant_expr=F.lit("density"), escalated_from="layout"
+    return _apply_variant_attempt(
+        df,
+        variant_expr=F.when(needs, F.lit("density")),
+        escalated_from="layout",
     )
-    return df.filter(~needs).unionByName(enhanced)
 
 
 def _apply_variant_attempt(
     df: DataFrame, variant_expr: Column, escalated_from: str = ""
 ) -> DataFrame:
-    """Append one re-extraction attempt (given per-row variant) to
-    ``attempts``.  Re-parses payloads — callers must pre-filter to the
-    small subset that needs it."""
+    """Append one re-extraction attempt to ``attempts`` for rows whose
+    ``variant_expr`` is non-null; all other rows pass through untouched
+    in the same map pass (selective computation O2/O5 without the
+    branch-and-union double scan)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())
@@ -342,7 +451,9 @@ def _apply_variant_attempt(
 
         return pd.Series(
             [
-                extract_payload_variant(bytes(p) if p is not None else b"", v)
+                None
+                if v is None
+                else extract_payload_variant(bytes(p) if p is not None else b"", v)
                 for p, v in zip(payload, variant)
             ]
         )
@@ -350,7 +461,10 @@ def _apply_variant_attempt(
     audit_udf = audit_udf_factory()
     df = df.withColumn("_variant", variant_expr)
     df = df.withColumn("_new_text", reextract_udf("html", "_variant"))
-    df = df.withColumn("_new_audit", audit_udf("_new_text", "n_pages"))
+    df = df.withColumn(
+        "_new_audit",
+        F.when(F.col("_variant").isNotNull(), audit_udf("_new_text", "n_pages")),
+    )
     new_attempt = F.struct(
         F.size("attempts").cast("int").alias("attempt_idx"),
         F.col("_variant").alias("variant"),
@@ -359,7 +473,11 @@ def _apply_variant_attempt(
         *[F.col(f"_new_audit.{f.name}").alias(f.name) for f in AUDIT_FIELDS],
     )
     return df.withColumn(
-        "attempts", F.concat(F.col("attempts"), F.array(new_attempt))
+        "attempts",
+        F.when(
+            F.col("_variant").isNotNull(),
+            F.concat(F.col("attempts"), F.array(new_attempt)),
+        ).otherwise(F.col("attempts")),
     ).drop("_variant", "_new_text", "_new_audit")
 
 
@@ -380,36 +498,84 @@ def needs_repair_col() -> Column:
 
 def repair_round(df: DataFrame) -> DataFrame:
     """One repair iteration (reference repair loop, orchestrator.py:897-1110):
-    failed docs pick the next variant via the routing policy and re-extract.
-    Docs whose chain is exhausted pass through unchanged."""
+    failed docs pick the next variant via the routing policy and re-extract;
+    passing/exhausted docs carry a null route and skip the kernel — one
+    map pass over the frame, no branch-and-union re-scan."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())
-    def route_udf(attempts: pd.Series) -> pd.Series:
+    def route_udf(attempts: pd.Series, needing: pd.Series) -> pd.Series:
         from smart_ocr_spark.kernel import repair as repair_kernel
 
         out = []
-        for atts in attempts:
+        for atts, need in zip(attempts, needing):
+            if not need:
+                out.append(None)
+                continue
             failures = [a["primary_failure"] for a in atts]
             tried = {a["variant"] for a in atts}
             dominant = repair_kernel.dominant_failure(failures)
             out.append(repair_kernel.select_repair_variant(dominant, tried))
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
-    needing = df.filter(needs_repair_col()).withColumn(
-        "_route", route_udf("attempts")
+    df = df.withColumn(
+        "_routed", route_udf("attempts", needs_repair_col().cast("boolean"))
     )
-    exhausted = needing.filter(F.col("_route").isNull()).drop("_route")
-    repairable = needing.filter(F.col("_route").isNotNull())
-    repaired = _apply_variant_attempt(
-        repairable.withColumnRenamed("_route", "_routed"),
-        variant_expr=F.col("_routed"),
-    ).drop("_routed")
-    return (
-        df.filter(~needs_repair_col())
-        .unionByName(exhausted)
-        .unionByName(repaired)
-    )
+    return _apply_variant_attempt(df, variant_expr=F.col("_routed")).drop("_routed")
+
+
+def fused_repair_round(df: DataFrame) -> DataFrame:
+    """``repair_round`` as ONE Arrow pass (route + re-extract + audit
+    fused; the chained-UDF formulation is three sequential
+    ArrowEvalPython nodes).  Schema-preserving: only ``attempts`` grows
+    for rows that needed repair."""
+    schema = df.schema
+    col_names = [f.name for f in schema.fields]
+
+    def _needs_repair_py(row: dict) -> bool:
+        # mirror of needs_repair_col() (state.py:37-57 analog)
+        if not row["parse_ok"]:
+            return False
+        if any(a["audit_passed"] for a in row["attempts"]):
+            return False
+        if row["is_born_digital"] and (row["native_text"] or ""):
+            return False
+        return row["total_chars"] > 0 and row["link_density"] <= 0.8
+
+    def run(batches):
+        from smart_ocr_spark.kernel import repair as repair_kernel
+        from smart_ocr_spark.kernel.extract import extract_payload_variant
+
+        for pdf in batches:
+            records = pdf.to_dict("records")
+            for row in records:
+                row["attempts"] = list(row["attempts"])
+                if not _needs_repair_py(row):
+                    continue
+                atts = row["attempts"]
+                dominant = repair_kernel.dominant_failure(
+                    [a["primary_failure"] for a in atts]
+                )
+                variant = repair_kernel.select_repair_variant(
+                    dominant, {a["variant"] for a in atts}
+                )
+                if variant is None:
+                    continue
+                payload = row["html"]
+                b = bytes(payload) if payload is not None else b""
+                text = extract_payload_variant(b, variant)
+                atts.append(
+                    dict(
+                        attempt_idx=len(atts),
+                        variant=variant,
+                        text=text or "",
+                        escalated_from="",
+                        **_audit_row(text, row["n_pages"]),
+                    )
+                )
+            yield pd.DataFrame(records, columns=col_names)
+
+    return df.mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------

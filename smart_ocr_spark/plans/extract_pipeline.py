@@ -68,11 +68,11 @@ def run_extraction(
     if repartition:
         df = ops.size_bucketed(df)
 
-    df = ops.first_pass(df)
-    df = ops.with_assessment(df)
+    # Phases 1-2b fused into one Arrow pass (parse + assess + audited
+    # primary attempt + conditional enhancement); difficulty stays a
+    # JVM-side column expression.
+    df = ops.fused_first_pass(df)
     df = df.withColumn("difficulty", ops.difficulty_col())
-    df = ops.with_primary_attempt(df)
-    df = ops.with_enhancement_attempt(df)
 
     # The parse stage is the expensive one; materialize before looping.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -81,7 +81,7 @@ def run_extraction(
         # reference orchestrator loop condition).
         if df.filter(ops.needs_repair_col()).limit(1).count() == 0:
             break
-        repaired = ops.repair_round(df).persist(StorageLevel.MEMORY_AND_DISK)
+        repaired = ops.fused_repair_round(df).persist(StorageLevel.MEMORY_AND_DISK)
         repaired.count()  # materialize before unpersisting the parent
         df.unpersist()
         df = repaired
