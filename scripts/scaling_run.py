@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""One scaling-evidence run: the extraction job at a given parallelism.
+
+The north rule requires throughput scaling efficiency >= 0.8 between N
+and 4N executors, evidenced in this sandbox as local[8] vs local[32] on
+identical input (driver instruction; no real cluster available). This
+script is one data point: it builds the replicated corpus (identical
+for every run: deterministic replication of sf0.1 documents), runs the
+full 5-phase extraction, and prints one JSON line with wall seconds and
+docs/sec measured over the job alone (session startup excluded — a real
+cluster amortizes it; a warm-up job forces executor/python-worker
+spin-up first).
+
+Usage: python scripts/scaling_run.py --master local[8] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(spark, sf_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = spark.range(replicas).withColumnRenamed("id", "rep")
+    return docs.crossJoin(rep).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("rep")).alias(
+            "url"
+        ),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit(" rep "),
+                F.col("rep").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("lang"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", required=True)
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+    from smart_ocr_spark.session import build_session
+
+    spark = build_session("scaling", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Materialize the replicated corpus to parquet FIRST: the timed job
+    # must read a real table (parallel scan), not recompute a
+    # single-task crossJoin inside the measurement.
+    import tempfile
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"scaling_corpus_r{args.replicas}"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        build_corpus(spark, args.sf_dir, args.replicas).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()  # warm-up: forces scan + worker spin-up
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    res = run_extraction(spark, corpus)
+    # Force FULL computation (a bare count() lets Catalyst prune the
+    # selection UDF) and capture an order-independent corpus checksum:
+    # it must be identical at every parallelism level (byte-identical
+    # output independent of partitioning, SURVEY.md §7.3.1).
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(url, final_text))").alias("checksum"),
+        F.sum(F.length("final_text")).alias("total_text_bytes"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+
+    assert agg["n"] == n_docs, (agg["n"], n_docs)
+    print(
+        json.dumps(
+            {
+                "master": args.master,
+                "n_docs": n_docs,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 2),
+                "corpus_checksum": int(agg["checksum"]),
+                "total_text_bytes": int(agg["total_text_bytes"]),
+                "sf_dir": args.sf_dir,
+                "replicas": args.replicas,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -68,28 +68,38 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text_col: str = "text", k: int = SHINGLE_K):
-    """Distinct k-gram word shingles. 1-based element_at to mirror the
-    DuckDB oracle's 1-based list indexing token for token."""
-    parts = ", ".join(f"element_at(__toks, i + {j})" for j in range(k))
-    return F.expr(
-        f"""
-        CASE WHEN size(__toks) >= {k} THEN
-          array_distinct(transform(
-            sequence(1, size(__toks) - {k - 1}),
-            i -> concat_ws(' ', {parts})))
-        ELSE array() END
-        """
-    )
+def _tokenize(text: str) -> list[str]:
+    """ASCII-whitespace tokens of lower(text) — pinned to match the
+    Spark ``split(lower(x), '\\s+')`` (Java \\s is ASCII-only) and the
+    DuckDB oracle's ``regexp_split_to_array`` identically."""
+    import re
+
+    return [t for t in re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower()) if t]
+
+
+def _shingle_set(text: str, k: int = SHINGLE_K) -> list[str]:
+    toks = _tokenize(text)
+    if len(toks) < k:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - k + 1):
+        seen.setdefault(" ".join(toks[i : i + k]), None)
+    return list(seen)  # first-occurrence order, like array_distinct
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != F.lit(""))
-    return (
-        df.withColumn("__toks", toks)
-        .withColumn("shingles", shingles_col(text_col, k))
-        .drop("__toks")
-    )
+    """Distinct k-gram word shingles per row.
+
+    Computed in an Arrow batch (a string loop in Python) rather than
+    interpreted HOF expressions (transform/sequence/concat_ws evaluate
+    per element on the JVM interpreter — measured ~5x slower here).
+    """
+
+    @F.pandas_udf("array<string>")
+    def shingles_k(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingle_set(t, k))
+
+    return df.withColumn("shingles", shingles_k(F.col(text_col)))
 
 
 def exploded_shingles(
@@ -122,6 +132,13 @@ def ngram_jaccard_pairs(
     """
     sh = exploded_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # A shingle appearing in a single doc cannot contribute a pair:
+    # dropping singletons shrinks the self-join input without changing
+    # the result (set sizes n_a/n_b still count ALL shingles).
+    nonsingleton = (
+        sh.groupBy("shingle").count().where(F.col("count") > 1).select("shingle")
+    )
+    sh = sh.join(nonsingleton, "shingle", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -166,20 +183,46 @@ def minhash_signatures(
 
     Hash family: md5(seed ':' shingle); min over the doc's distinct
     shingles per seed (min of a lowercase-hex string = min of the hash).
-    Bands: md5 over contiguous signature slices. Map-only aside from one
-    groupBy(id) — no pairwise work.
+    Bands: md5 over contiguous signature slices.
+
+    Entirely map-local (hashlib inside one Arrow batch — MD5 is MD5,
+    byte-identical to Spark/DuckDB ``md5()``): no explode, no shuffle at
+    all. Docs with zero shingles (<k tokens) emit no row, matching the
+    explode+groupBy formulation and the SQL oracle.
     """
+    import hashlib
+
     rows_per_band = n_hashes // n_bands
-    sh = exploded_shingles(df, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig_{s}")
-        for s in range(n_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        sig = sig.withColumn(f"band_{b}", F.md5(F.concat(*cols)))
-    return sig
+    prefixes = [f"{s}:".encode() for s in range(n_hashes)]
+    sig_names = [f"sig_{s}" for s in range(n_hashes)]
+    band_names = [f"band_{b}" for b in range(n_bands)]
+    out_schema = f"{id_col} bigint, " + ", ".join(
+        f"{c} string" for c in sig_names + band_names
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                shingles = [s.encode("utf-8") for s in _shingle_set(text)]
+                if not shingles:
+                    continue
+                sigs = [
+                    min(hashlib.md5(p + s).hexdigest() for s in shingles)
+                    for p in prefixes
+                ]
+                bands = [
+                    hashlib.md5(
+                        "".join(
+                            sigs[b * rows_per_band : (b + 1) * rows_per_band]
+                        ).encode()
+                    ).hexdigest()
+                    for b in range(n_bands)
+                ]
+                rows.append((doc_id, *sigs, *bands))
+            yield pd.DataFrame(rows, columns=[id_col] + sig_names + band_names)
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def lsh_candidate_pairs(

@@ -130,16 +130,26 @@ def _audit_row(text: str, n_pages: int) -> dict:
 
 
 def size_bucketed(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Spread rows so oversized payloads don't skew partitions.
+    """Spread rows so oversized payloads don't skew partitions — but ONLY
+    when the source doesn't already provide enough parallelism.
 
     The reference chunks >30-page PDFs to bound per-call latency (O4); the
-    Spark analog is making partition cost uniform: repartition by a salted
-    composite of size-bucket and url hash.  AQE cannot rebalance a
-    *pre-shuffle* map stage, so this explicit spread is the one shuffle we
-    accept when payload skew is present — it moves bytes once and bounds
-    the straggler tail of the parse stage.
+    Spark analog is making partition cost uniform.  Shuffling payload
+    bytes is expensive and I/O-bound, so for a well-laid-out table (scan
+    splits >= cores) we parse scan partitions directly — payloads never
+    cross a shuffle boundary; per-batch memory is bounded by the Arrow
+    batch cap regardless of blob size.  The explicit salted repartition
+    remains for low-parallelism sources (single file, small corpus,
+    skewed layout): it moves bytes once and bounds the straggler tail.
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    n = partitions or sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = 0
+    if current >= n:
+        return df
     return df.repartition(
         n,
         F.floor(F.length("html") / F.lit(BIG_BLOB_BYTES)),
@@ -216,6 +226,11 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
     Python worker hop — measured ~10x the actual kernel cost at sf0.1.
     The kernels themselves are pure functions, so fusing them is purely
     a physical-plan change: identical columns, identical values.
+
+    Deliberately does NOT emit the payload: persisting payload bytes is
+    what blows the cache at scale (at 10^12 docs it's impossible); the
+    repair loop joins back to the source table for the few rows that
+    re-extract.
     """
     schema = StructType(
         list(FIRST_PASS_SCHEMA.fields)
@@ -223,7 +238,6 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
         + [
             StructField("native_text", StringType()),
             StructField("attempts", ArrayType(ATTEMPT_SCHEMA)),
-            StructField("html", df.schema["html"].dataType),
         ]
     )
     col_names = [f.name for f in schema.fields]
@@ -302,7 +316,6 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
                         a["notes"],
                         native,
                         attempts,
-                        payload,
                     )
                 )
             yield pd.DataFrame(out, columns=col_names)
@@ -527,9 +540,10 @@ def repair_round(df: DataFrame) -> DataFrame:
 def fused_repair_round(df: DataFrame) -> DataFrame:
     """``repair_round`` as ONE Arrow pass (route + re-extract + audit
     fused; the chained-UDF formulation is three sequential
-    ArrowEvalPython nodes).  Schema-preserving: only ``attempts`` grows
-    for rows that needed repair."""
-    schema = df.schema
+    ArrowEvalPython nodes).  Input must carry the payload column
+    (``html``), joined back from the source table by the caller; output
+    drops it.  Only ``attempts`` grows for rows that needed repair."""
+    schema = StructType([f for f in df.schema.fields if f.name != "html"])
     col_names = [f.name for f in schema.fields]
 
     def _needs_repair_py(row: dict) -> bool:
@@ -549,6 +563,7 @@ def fused_repair_round(df: DataFrame) -> DataFrame:
         for pdf in batches:
             records = pdf.to_dict("records")
             for row in records:
+                payload = row.pop("html", None)
                 row["attempts"] = list(row["attempts"])
                 if not _needs_repair_py(row):
                     continue
@@ -561,7 +576,6 @@ def fused_repair_round(df: DataFrame) -> DataFrame:
                 )
                 if variant is None:
                     continue
-                payload = row["html"]
                 b = bytes(payload) if payload is not None else b""
                 text = extract_payload_variant(b, variant)
                 atts.append(

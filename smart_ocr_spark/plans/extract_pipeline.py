@@ -64,27 +64,36 @@ def run_extraction(
     Returns one row per url with ``final_text`` (the byte-identical
     contract column), attempts lineage, and routing metadata.
     """
-    df = documents.select("url", "warc_ts", "html", "lang")
+    src = documents.select("url", "warc_ts", "html", "lang")
     if repartition:
-        df = ops.size_bucketed(df)
+        src = ops.size_bucketed(src)
 
     # Phases 1-2b fused into one Arrow pass (parse + assess + audited
     # primary attempt + conditional enhancement); difficulty stays a
-    # JVM-side column expression.
-    df = ops.fused_first_pass(df)
+    # JVM-side column expression.  The payload is NOT carried forward —
+    # the persisted working set is metadata + attempt texts only, so the
+    # cache stays small no matter the corpus size.
+    df = ops.fused_first_pass(src)
     df = df.withColumn("difficulty", ops.difficulty_col())
 
     # The parse stage is the expensive one; materialize before looping.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_retries):
-        # Early exit when nothing needs repair (cheap aggregate probe —
-        # reference orchestrator loop condition).
-        if df.filter(ops.needs_repair_col()).limit(1).count() == 0:
+        # Selective repair (O5): only rows still failing go through the
+        # Python kernel; the passing majority is a cache-backed filter.
+        # Payloads for the failed few come from a join back to the
+        # source table (broadcast of the small failed key set).
+        failed = df.filter(ops.needs_repair_col())
+        if failed.limit(1).count() == 0:
             break
-        repaired = ops.fused_repair_round(df).persist(StorageLevel.MEMORY_AND_DISK)
-        repaired.count()  # materialize before unpersisting the parent
-        df.unpersist()
-        df = repaired
+        failed_with_payload = failed.join(
+            documents.select("url", "html"), "url", "left"
+        )
+        repaired = ops.fused_repair_round(failed_with_payload).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        repaired.count()  # materialize the (small) repaired subset
+        df = df.filter(~ops.needs_repair_col()).unionByName(repaired)
 
     df = ops.with_selection(df)
     return df.select(*RESULT_COLUMNS)
