@@ -362,6 +362,85 @@ def q_score_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_normalize_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-series normalization chain (normalizer.py:211-240 analogs) over
+    deterministically-messed input: CRLF->LF, per-line trailing-space
+    strip, 3+ blank-line collapse, smart-quote/dash mapping, outer trim.
+    JVM regexp_replace chain — whole-stage codegen, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“quoted” — dash’s\r\n\r\n\r\n\r\n  "),
+        F.col("text"),
+        F.lit("   \r\ntail   "),
+    )
+    c = messy
+    c = F.regexp_replace(c, "\r\n", "\n")                      # N6 CRLF
+    c = F.regexp_replace(c, "\r", "\n")                        # N6 CR
+    c = F.regexp_replace(c, "[ \\t]+\\n", "\n")                # N11 trailing ws
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")                 # N11 collapse
+    c = F.translate(c, "‘’“”", "''\"\"")   # N10 quotes
+    c = F.regexp_replace(c, "—", "--")                    # N10 em-dash
+    c = F.trim(c)
+    return docs.select("doc_id", c.alias("normalized"))
+
+
+def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-series audit battery (audit/heuristics.py:85-221) as pure column
+    algebra over documents.text: word-count floor (Q6), avg-word-length
+    band (Q8), garbage ceiling (Q9), refusal regex (Q2), verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
+    wc = F.size(words).cast("bigint")
+    nonspace = F.length(F.regexp_replace(text, "\\s", ""))
+    awl = F.round(
+        F.when(wc > 0, nonspace / wc.cast("double")).otherwise(F.lit(0.0)), 4
+    )
+    garbage = F.round(
+        F.when(
+            F.length(text) > 0,
+            F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s.,;:!?'\"()-]", ""))
+            / F.length(text).cast("double"),
+        ).otherwise(F.lit(1.0)),
+        4,
+    )
+    refusal = F.lower(text).rlike("i cannot|i can't|unable to process|as an ai")
+    passed = (
+        (wc >= 50)
+        & (awl >= 2.0)
+        & (awl <= 15.0)
+        & (garbage <= 0.15)
+        & ~refusal
+    )
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        awl.alias("avg_word_len"),
+        garbage.alias("garbage_ratio"),
+        refusal.cast("boolean").alias("refusal_hit"),
+        passed.cast("boolean").alias("audit_passed"),
+    )
+
+
+def q_calibration_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 calibration profiles (benchmark/calibrate.py:155-287): two-level
+    rollup per (lang, source) with exact-sum-derived averages."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+    return (
+        docs.withColumn("wc", F.size(toks).cast("bigint"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc").alias("total_words"),
+            F.round(F.sum("wc") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "avg_words"
+            ),
+            F.sum(F.when(F.col("wc") >= 50, 1).otherwise(0)).alias("n_pass_floor"),
+        )
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import text_analysis as ta
 
@@ -529,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_latest_state": q_merge_latest_state,
         "setop_untried": q_setop_untried,
         "score_levenshtein": q_score_levenshtein,
+        # normalization / audit / calibration batteries (N/Q/A6 series)
+        "normalize_battery": q_normalize_battery,
+        "audit_battery": q_audit_battery,
+        "calibration_rollup": q_calibration_rollup,
         # training-data pipeline
         "text_token_stats": q_text_token_stats,
         "text_lang_id": q_text_lang_id,
@@ -740,6 +823,57 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   round(1 - levenshtein(a.text, b.text)
           / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 4) AS nes
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+""",
+        "normalize_battery": """
+WITH m AS (SELECT doc_id,
+  '“quoted” — dash’s' || e'\\r\\n\\r\\n\\r\\n\\r\\n  ' || text
+    || e'   \\r\\n' || 'tail   ' AS c
+  FROM documents),
+n AS (SELECT doc_id,
+  trim(
+    regexp_replace(
+      translate(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(c, '\\r\\n', e'\\n', 'g'),
+              '\\r', e'\\n', 'g'),
+            '[ \\t]+\\n', e'\\n', 'g'),
+          '\\n{3,}', e'\\n\\n', 'g'),
+        '‘’“”', '''''""'),
+      '—', '--', 'g')) AS normalized
+  FROM m)
+SELECT doc_id, normalized FROM n
+""",
+        "audit_battery": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+m AS (SELECT doc_id, text,
+  CAST(len(toks) AS BIGINT) AS word_count,
+  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+  FROM t),
+s AS (SELECT doc_id, word_count,
+  round(CASE WHEN word_count > 0
+        THEN nonspace / CAST(word_count AS DOUBLE) ELSE 0.0 END, 4)
+    AS avg_word_len,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s.,;:!?''"()-]', '', 'g'))
+      AS DOUBLE) / length(text) ELSE 1.0 END, 4) AS garbage_ratio,
+  regexp_matches(lower(text), 'i cannot|i can''t|unable to process|as an ai')
+    AS refusal_hit
+  FROM m)
+SELECT doc_id, word_count, avg_word_len, garbage_ratio, refusal_hit,
+  (word_count >= 50 AND avg_word_len >= 2.0 AND avg_word_len <= 15.0
+   AND garbage_ratio <= 0.15 AND NOT refusal_hit) AS audit_passed
+FROM s
+""",
+        "calibration_rollup": f"""
+WITH t AS (SELECT lang, source,
+  CAST(len({_TOKS_SQL}) AS BIGINT) AS wc FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(wc) AS BIGINT) AS total_words,
+  round(CAST(sum(wc) AS DOUBLE) / count(*), 4) AS avg_words,
+  CAST(sum(CASE WHEN wc >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_floor
+FROM t GROUP BY lang, source
 """,
         "text_token_stats": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
