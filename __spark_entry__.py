@@ -513,6 +513,48 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_figures_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 figure extraction, oracle-checked end-to-end: build a PDF
+    per document with ONE planted rectangle at doc_id-derived
+    coordinates, run the real content-stream scanner + union-find
+    clusterer + candidate filters, and emit the metadata rows. The
+    oracle recomputes the planted geometry arithmetically — any parser,
+    clustering, or filter deviation breaks the match."""
+    _ship(spark)
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(batches):
+        from smart_ocr_spark.sources.corpus import build_pdf
+
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                x0 = 100 + (d % 50) * 2
+                y0 = 200 + (d % 30) * 3
+                w = 200 + d % 80
+                h = 200 + d % 60
+                rect = f"{x0} {y0} {w} {h} re S"
+                payloads.append(
+                    build_pdf(
+                        [[(72.0, 720.0, (text or "")[:60])]],
+                        raw_page_prefix=[rect],
+                    )
+                )
+                urls.append(str(d))
+            yield pd.DataFrame({"url": urls, "html": payloads})
+
+    pdfs = docs.mapInPandas(mk, "url string, html binary")
+    from smart_ocr_spark.operators.extract import figure_metadata
+
+    return figure_metadata(pdfs).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "figure_num", "page_num", "figure_type", "x0", "y0", "x1", "y1",
+    )
+
+
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical-text contract: the REAL 5-phase pipeline over
     the HTML-wrapped corpus must reproduce every document's text exactly
@@ -623,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash16": q_dedup_simhash16,
         "ann_cosine_topk": q_ann_cosine_topk,
         # the extraction engine itself
+        "figures_fanout": q_figures_fanout,
         "extract_roundtrip": q_extract_roundtrip,
         # rows-only (non-SQL-expressible; pinned by pytest golden tests)
         "extract_pipeline_report": q_extract_pipeline_report,
@@ -968,6 +1011,16 @@ r AS (SELECT query_id, nbr_id, cos,
           ORDER BY cos DESC, nbr_id ASC) AS rank FROM p)
 SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, round(cos, 4) AS cosine
 FROM r WHERE rank <= 5
+""",
+        "figures_fanout": """
+SELECT doc_id,
+  CAST(1 AS INT) AS figure_num, CAST(1 AS INT) AS page_num,
+  'drawing' AS figure_type,
+  CAST(100 + (doc_id % 50) * 2 AS DOUBLE) AS x0,
+  CAST(200 + (doc_id % 30) * 3 AS DOUBLE) AS y0,
+  CAST(100 + (doc_id % 50) * 2 + 200 + doc_id % 80 AS DOUBLE) AS x1,
+  CAST(200 + (doc_id % 30) * 3 + 200 + doc_id % 60 AS DOUBLE) AS y1
+FROM documents
 """,
         "extract_roundtrip": """
 SELECT doc_id, text AS final_text FROM documents

@@ -1,0 +1,219 @@
+"""Figure-metadata extraction from PDF pages (SURVEY.md §2.13).
+
+Re-derives the reference's three per-page strategies
+(``src/socr/figures/extractor.py:138-291``) at METADATA level — at
+10^12-document scale figure pixels are never materialized, only
+``(figure_num, page_num, figure_type, bbox)`` rows (SURVEY.md §1.4):
+
+  1. vector-drawing clustering: path-construction operators (re/m/l/c)
+     grouped by union-find on bbox proximity (gap <= 30pt,
+     ``extractor.py:351-413``);
+  2. embedded image placements: ``cm`` matrix before an image-XObject
+     ``Do`` gives the placed bbox (``extractor.py:222-289`` analog).
+
+Candidate filters mirror ``extractor.py:58-66,107-112,174-186,236-239``:
+min 80x80pt, aspect in [1/8, 8], header/footer margin exclusion,
+page-area-ratio band [0.05, 0.85] (upper bound relaxed to 0.90 on
+landscape pages). Caps: 3 figures/page, 25/doc
+(``extractor.py:72-76``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from smart_ocr_spark.kernel.pdf_extract import PdfDocument, PdfError, _Lexer
+
+CLUSTER_GAP = 30.0
+MIN_SIDE = 80.0
+ASPECT_MIN, ASPECT_MAX = 1.0 / 8.0, 8.0
+AREA_RATIO_MIN, AREA_RATIO_MAX = 0.05, 0.85
+AREA_RATIO_MAX_LANDSCAPE = 0.90
+MARGIN_FRAC = 0.08  # header/footer exclusion band
+MAX_PER_PAGE = 3
+MAX_TOTAL = 25
+
+_PATH_PAINT = {b"S", b"s", b"f", b"F", b"B", b"b", b"n"}
+
+Box = tuple[float, float, float, float]
+
+
+def _merge(a: Box, b: Box) -> Box:
+    return (min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3]))
+
+
+def _gap(a: Box, b: Box) -> float:
+    dx = max(a[0] - b[2], b[0] - a[2], 0.0)
+    dy = max(a[1] - b[3], b[1] - a[3], 0.0)
+    return max(dx, dy)
+
+
+def scan_page_boxes(
+    content: bytes, image_names: set[str]
+) -> tuple[list[Box], list[Box]]:
+    """One pass over the content stream -> (drawing path bboxes,
+    placed image bboxes). Tracks current path points and the last ``cm``
+    translation+scale (axis-aligned subset — rotation is out of the
+    supported corpus, like the text interpreter)."""
+    drawings: list[Box] = []
+    images: list[Box] = []
+    lx = _Lexer(content, 0)
+    operands: list = []
+    pts: list[tuple[float, float]] = []
+    cm = (1.0, 1.0, 0.0, 0.0)  # (sx, sy, tx, ty)
+    cm_stack: list[tuple[float, float, float, float]] = []
+    n = len(content)
+
+    def flush_path() -> None:
+        nonlocal pts
+        if len(pts) >= 2:
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            drawings.append((min(xs), min(ys), max(xs), max(ys)))
+        pts = []
+
+    while lx.pos < n:
+        lx.skip_ws()
+        if lx.pos >= n:
+            break
+        c = content[lx.pos : lx.pos + 1]
+        if c in b"/<([+-.0123456789":
+            try:
+                operands.append(lx.parse_object())
+            except PdfError:
+                lx.pos += 1
+            continue
+        m = re.match(rb"[A-Za-z'\"*]{1,3}", content[lx.pos : lx.pos + 3])
+        if not m:
+            lx.pos += 1
+            operands = []
+            continue
+        op = m.group(0)
+        lx.pos += len(op)
+        try:
+            if op == b"re" and len(operands) >= 4:
+                x, y, w, h = (float(v) for v in operands[-4:])
+                pts.extend([(x, y), (x + w, y + h)])
+            elif op in (b"m", b"l") and len(operands) >= 2:
+                pts.append((float(operands[-2]), float(operands[-1])))
+            elif op == b"c" and len(operands) >= 6:
+                vals = [float(v) for v in operands[-6:]]
+                pts.extend([(vals[0], vals[1]), (vals[2], vals[3]), (vals[4], vals[5])])
+            elif op in (b"v", b"y") and len(operands) >= 4:
+                vals = [float(v) for v in operands[-4:]]
+                pts.extend([(vals[0], vals[1]), (vals[2], vals[3])])
+            elif op in _PATH_PAINT or op in (b"f*", b"B*", b"b*"):
+                flush_path()
+            elif op == b"q":
+                cm_stack.append(cm)
+            elif op == b"Q":
+                cm = cm_stack.pop() if cm_stack else (1.0, 1.0, 0.0, 0.0)
+            elif op == b"cm" and len(operands) >= 6:
+                a, b_, c_, d, e, f = (float(v) for v in operands[-6:])
+                # axis-aligned composition onto the current cm
+                sx, sy, tx, ty = cm
+                cm = (sx * a, sy * d, tx + e * sx, ty + f * sy)
+            elif op == b"Do" and operands:
+                name = operands[-1]
+                if isinstance(name, str) and name in image_names:
+                    sx, sy, tx, ty = cm
+                    x0, x1 = sorted((tx, tx + sx))
+                    y0, y1 = sorted((ty, ty + sy))
+                    images.append((x0, y0, x1, y1))
+        except (TypeError, ValueError):
+            pass
+        operands = []
+    return drawings, images
+
+
+def cluster_boxes(boxes: list[Box], gap: float = CLUSTER_GAP) -> list[Box]:
+    """Union-find on bbox proximity (extractor.py:351-413)."""
+    n = len(boxes)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if _gap(boxes[i], boxes[j]) <= gap:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    merged: dict[int, Box] = {}
+    for i, b in enumerate(boxes):
+        r = find(i)
+        merged[r] = _merge(merged[r], b) if r in merged else b
+    return sorted(merged.values(), key=lambda b: (-b[3], b[0]))  # y-desc, x-asc
+
+
+def passes_filters(box: Box, page_w: float, page_h: float) -> bool:
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0, y1 - y0
+    if w < MIN_SIDE or h < MIN_SIDE:
+        return False
+    aspect = w / h if h else 0.0
+    if not (ASPECT_MIN <= aspect <= ASPECT_MAX):
+        return False
+    # header/footer margin exclusion
+    if y1 > page_h * (1 - MARGIN_FRAC) or y0 < page_h * MARGIN_FRAC:
+        return False
+    ratio = (w * h) / (page_w * page_h) if page_w and page_h else 0.0
+    hi = AREA_RATIO_MAX_LANDSCAPE if page_w > page_h else AREA_RATIO_MAX
+    return AREA_RATIO_MIN <= ratio <= hi
+
+
+def doc_figures(payload: bytes) -> list[dict]:
+    """Whole-document figure metadata rows (PDF payloads only)."""
+    try:
+        doc = PdfDocument(payload)
+        pages = doc.pages()
+    except Exception:
+        return []
+    out: list[dict] = []
+    fig_num = 0
+    for page_idx, page in enumerate(pages, start=1):
+        if fig_num >= MAX_TOTAL:
+            break
+        try:
+            media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+            page_w, page_h = float(media[2]), float(media[3])
+            content = doc.page_content(page)
+            res = doc.resolve(page.get("Resources")) or {}
+            xobjs = (
+                doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+            )
+            image_names = set()
+            if isinstance(xobjs, dict):
+                for name, xref_ in xobjs.items():
+                    x = doc.resolve(xref_)
+                    hdr = getattr(x, "header", x)
+                    if isinstance(hdr, dict) and hdr.get("Subtype") == "Image":
+                        image_names.add(name)
+            drawings, images = scan_page_boxes(content, image_names)
+        except Exception:
+            continue
+        page_count = 0
+        for kind, boxes in (("drawing", cluster_boxes(drawings)), ("image", images)):
+            for box in boxes:
+                if page_count >= MAX_PER_PAGE or fig_num >= MAX_TOTAL:
+                    break
+                if not passes_filters(box, page_w, page_h):
+                    continue
+                fig_num += 1
+                page_count += 1
+                out.append(
+                    {
+                        "figure_num": fig_num,
+                        "page_num": page_idx,
+                        "figure_type": kind,
+                        "x0": box[0],
+                        "y0": box[1],
+                        "x1": box[2],
+                        "y1": box[3],
+                    }
+                )
+    return out

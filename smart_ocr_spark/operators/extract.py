@@ -592,6 +592,49 @@ def fused_repair_round(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def figure_metadata(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """Figure-metadata fan-out (SURVEY.md §2.13; the doc → N-figure-rows
+    UDTF analog, reference ``figures/extractor.py:82-136``): one row per
+    detected figure on PDF payloads; non-PDF rows emit nothing.
+    Map-only; figure pixels are never materialized."""
+    schema = (
+        f"{url_col} string, figure_num int, page_num int, "
+        "figure_type string, x0 double, y0 double, x1 double, y1 double"
+    )
+
+    def run(batches):
+        from smart_ocr_spark.kernel.figures import doc_figures
+
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                if not b.startswith(b"%PDF"):
+                    continue
+                for fig in doc_figures(b):
+                    rows.append(
+                        (
+                            url,
+                            fig["figure_num"],
+                            fig["page_num"],
+                            fig["figure_type"],
+                            fig["x0"],
+                            fig["y0"],
+                            fig["x1"],
+                            fig["y1"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    url_col, "figure_num", "page_num", "figure_type",
+                    "x0", "y0", "x1", "y1",
+                ],
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(run, schema)
+
+
 # ---------------------------------------------------------------------------
 # Phase 4b/5: consensus selection + assembly
 # ---------------------------------------------------------------------------

@@ -292,10 +292,13 @@ def build_pdf(
     fonts: list[str] | None = None,
     page_width: float = 612,
     page_height: float = 792,
+    raw_page_prefix: list[str] | None = None,
 ) -> bytes:
     """Write a minimal PDF.  ``pages`` = per page a list of (x, y, text)
     line placements; ``fonts`` = BaseFont names (F1 is used for all text;
-    extra fonts only land in /Resources for the math-font signal)."""
+    extra fonts only land in /Resources for the math-font signal);
+    ``raw_page_prefix`` = optional raw content-stream ops prepended per
+    page (one string per page; used to plant drawing/figure operators)."""
     fonts = fonts or ["Helvetica"]
     objects: list[bytes] = []
 
@@ -317,8 +320,11 @@ def build_pdf(
 
     page_ids = []
     content_ids = []
-    for lines in pages:
-        ops = ["BT", "/F1 12 Tf", "14 TL"]
+    for page_idx, lines in enumerate(pages):
+        ops = []
+        if raw_page_prefix and page_idx < len(raw_page_prefix):
+            ops.append(raw_page_prefix[page_idx])
+        ops += ["BT", "/F1 12 Tf", "14 TL"]
         for x, y, text in lines:
             ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm")
             ops.append(f"({_pdf_escape(text)}) Tj")

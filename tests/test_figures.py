@@ -1,0 +1,70 @@
+"""Figure-metadata kernel (§2.13): union-find clustering, candidate
+filters, image placement, caps."""
+
+from __future__ import annotations
+
+from smart_ocr_spark.kernel import figures as FG
+from smart_ocr_spark.sources.corpus import build_pdf
+
+
+def _fig_pdf(prefix: str, n_pages: int = 1) -> bytes:
+    return build_pdf(
+        [[(72.0, 720.0, "some text")] for _ in range(n_pages)],
+        raw_page_prefix=[prefix] * n_pages,
+    )
+
+
+def test_single_rect_detected():
+    pdf = _fig_pdf("150 300 200 220 re S")
+    figs = FG.doc_figures(pdf)
+    assert len(figs) == 1
+    f = figs[0]
+    assert f["figure_type"] == "drawing" and f["page_num"] == 1
+    assert (f["x0"], f["y0"], f["x1"], f["y1"]) == (150.0, 300.0, 350.0, 520.0)
+
+
+def test_nearby_paths_cluster_into_one_figure():
+    # two rects 20pt apart (< gap 30) -> one merged figure; each rect
+    # alone is under the 5% page-area floor, the merged cluster is not
+    pdf = _fig_pdf("150 300 100 200 re S 270 300 100 200 re S")
+    figs = FG.doc_figures(pdf)
+    assert len(figs) == 1
+    assert figs[0]["x1"] - figs[0]["x0"] == 220.0
+
+
+def test_distant_paths_stay_separate():
+    # 150pt apart (> gap 30): two clusters, both pass filters
+    pdf = _fig_pdf("80 300 150 170 re S 380 300 150 170 re S")
+    figs = FG.doc_figures(pdf)
+    assert len(figs) == 2
+
+
+def test_filters_reject_small_margin_and_huge():
+    small = FG.doc_figures(_fig_pdf("150 300 40 40 re S"))  # < 80x80
+    assert small == []
+    header = FG.doc_figures(_fig_pdf("150 740 200 200 re S"))  # top margin
+    assert header == []
+    huge = FG.doc_figures(_fig_pdf("10 80 590 650 re S"))  # > 85% page area
+    assert huge == []
+    sliver = FG.doc_figures(_fig_pdf("100 300 400 45 re S"))  # aspect > 8
+    assert sliver == []
+
+
+def test_per_page_cap():
+    rects = " ".join(
+        f"{40 + i * 145} 150 100 400 re S" for i in range(4)
+    )  # 4 candidates, 45pt apart (> cluster gap 30), one page
+    figs = FG.doc_figures(_fig_pdf(rects))
+    assert len(figs) == FG.MAX_PER_PAGE
+
+
+def test_multi_page_numbers():
+    pdf = _fig_pdf("150 300 200 220 re S", n_pages=3)
+    figs = FG.doc_figures(pdf)
+    assert [f["page_num"] for f in figs] == [1, 2, 3]
+    assert [f["figure_num"] for f in figs] == [1, 2, 3]
+
+
+def test_non_pdf_and_garbage_payloads():
+    assert FG.doc_figures(b"<html>x</html>") == []
+    assert FG.doc_figures(b"%PDF-1.4 truncated garbage") == []
