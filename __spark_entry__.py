@@ -109,11 +109,13 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F1/O3 incremental-skip: left anti-join against the "completed" set.
+    # F1/O3 incremental-skip: left anti-join against the "completed" set
+    # ('P' orders play the completed-checkpoint rows; customers without
+    # one are the still-to-process set — non-degenerate at every sf).
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    done = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        done, cust.c_custkey == done.o_custkey, "left_anti"
     ).select(
         "c_custkey", "c_name", _cents(F.col("c_acctbal")).alias("acctbal_cents")
     )
@@ -755,7 +757,8 @@ GROUP BY l_returnflag, l_linestatus
         "anti_join_skip": """
 SELECT c_custkey, c_name, CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_cents
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
 """,
         "window_first_passing": """
 SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
