@@ -508,6 +508,15 @@ def q_dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import similarity
+
+    _ship(spark)
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings")).select(
+        "label", F.col("idx").cast("int").alias("idx"), "centroid", "n"
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import similarity
 
@@ -591,6 +600,13 @@ def q_extract_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from smart_ocr_spark.functions import similarity
+
+    _ship(spark)
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_probe=1)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import similarity
 
@@ -665,12 +681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash16": q_dedup_simhash16,
+        "embedding_centroids": q_embedding_centroids,
         "ann_cosine_topk": q_ann_cosine_topk,
         # the extraction engine itself
         "figures_fanout": q_figures_fanout,
         "extract_roundtrip": q_extract_roundtrip,
         # rows-only (non-SQL-expressible; pinned by pytest golden tests)
         "extract_pipeline_report": q_extract_pipeline_report,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -999,6 +1017,13 @@ SELECT doc_id,
   CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT)
     AS simhash16
 FROM bits GROUP BY doc_id
+""",
+        "embedding_centroids": """
+SELECT label, CAST(idx AS INT) AS idx,
+  round(avg(CAST(val AS DOUBLE)), 4) + 0.0 AS centroid, count(*) AS n
+FROM (SELECT label, unnest(embedding) AS val,
+        generate_subscripts(embedding, 1) AS idx FROM embeddings)
+GROUP BY label, idx
 """,
         "ann_cosine_topk": """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -140,6 +140,110 @@ def cosine_near_dup_pairs(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise centroid per label: (label, idx, centroid) flat rows
+    (posexplode → groupBy(label, idx) → avg). Flat output keeps it
+    SQL-oracle-checkable; reassembly to arrays is a collect_list away."""
+    return (
+        corpus.select(
+            F.col(label_col),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        )
+        .withColumnRenamed("pos", "idx")
+        .withColumn("idx", F.col("idx") + 1)  # 1-based, DuckDB subscripts
+        .groupBy(label_col, "idx")
+        .agg(
+            # + 0.0 normalizes IEEE negative zero (round(-2e-5, 4) is
+            # -0.0, which string-compares differently from 0.0)
+            (F.round(F.avg("col"), 4) + F.lit(0.0)).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize each vector to its nearest
+    centroid cell, search only within the probed cell(s), exact re-rank.
+
+    Centroids here come from the corpus's own cluster labels (the
+    given-coarse-quantizer case); swapping in k-means centroids changes
+    one input DataFrame, not the plan. Shuffle is keyed by cell — the
+    classic inverted-file layout: at 100 TB each cell is a partition-
+    local exact search instead of a corpus-wide scan.
+    """
+    # centroid matrix (small) -> driver
+    cent_rows = (
+        label_centroids(corpus, label_col, vec_col)
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r[label_col], {})[r["idx"]] = r["centroid"]
+    labels = sorted(by_label)
+    dim = max(len(v) for v in by_label.values())
+    cmat = np.array(
+        [[by_label[l].get(i + 1, 0.0) for i in range(dim)] for l in labels]
+    )
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    sc = corpus.sparkSession.sparkContext
+    b_cent = sc.broadcast((np.array(labels), cmat, cnorm))
+
+    base = with_norm(corpus, vec_col).select(F.col(id_col), "__v", "__norm")
+
+    def assign(batches):
+        lbls, cm, cn = b_cent.value
+        for pdf in batches:
+            rows = []
+            for vid, v, nrm in zip(pdf[id_col], pdf["__v"], pdf["__norm"]):
+                if nrm <= 0:
+                    continue
+                vv = np.asarray(v, dtype=np.float64)
+                cos = (vv @ cm.T) / (nrm * cn)
+                order = np.argsort(-cos)[:n_probe]
+                for cell in lbls[order]:
+                    rows.append((int(vid), int(cell), list(vv), float(nrm)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "cell", "__v", "__norm"]
+            )
+
+    assigned = base.mapInPandas(
+        assign, f"{id_col} bigint, cell int, __v array<double>, __norm double"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("nbr_id"),
+            (
+                dot_col(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__norm") * F.col("b.__norm"))
+            ).alias("cos"),
+        )
+        .groupBy("query_id", "nbr_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

@@ -187,3 +187,33 @@ def test_media_features_real_decode_raises(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         multimodal.media_features(media, fake=False).collect()
+
+
+def test_ivf_topk_recall(embeddings):
+    from smart_ocr_spark.functions import similarity
+
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(embeddings, k=2).collect()
+    }
+    ivf = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.ivf_topk(embeddings, k=2, n_probe=1).collect()
+    }
+    # clustered vectors: probing their own cell finds the true neighbors
+    clustered_exact = {p for p in exact if p[0] < 12}
+    recall = len(clustered_exact & ivf) / len(clustered_exact)
+    assert recall >= 0.9, (recall, clustered_exact - ivf)
+
+
+def test_label_centroids_shape(spark, embeddings):
+    from smart_ocr_spark.functions import similarity
+
+    cents = similarity.label_centroids(embeddings).collect()
+    labels = {r.label for r in cents}
+    assert labels == {0, 1, 2, 98, 99}
+    per_label = {}
+    for r in cents:
+        per_label.setdefault(r.label, []).append(r.idx)
+    for lbl, idxs in per_label.items():
+        assert sorted(idxs) == list(range(1, 9)), lbl
