@@ -282,6 +282,22 @@ def _priority_col(c) -> F.Column:
     return expr
 
 
+def q_skew_twostage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 skew handling, oracle-verified: the salted two-stage
+    aggregation (partial per (key, salt), merge per key) must equal the
+    plain GROUP BY exactly. l_returnflag has 3 hot keys — every one
+    crosses the hot threshold and gets spread over 16 salts."""
+    from smart_ocr_spark.functions import skew
+
+    _ship(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", _cents(F.col("l_extendedprice"))
+    )
+    return skew.two_stage_agg(
+        li, "l_returnflag", "cents", n_salts=16, hot_threshold=100
+    ).select("l_returnflag", "n", F.col("sum_cents"))
+
+
 def q_classify_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q12 failure-mode priority classification (audit/scorer.py:82-151).
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -664,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_assembly": q_ordered_assembly,
         "fanout_chunk": q_fanout_chunk,
         "join_broadcast_rollup": q_join_broadcast_rollup,
+        "skew_twostage_rollup": q_skew_twostage_rollup,
         "classify_priority": q_classify_priority,
         "merge_latest_state": q_merge_latest_state,
         "setop_untried": q_setop_untried,
@@ -847,6 +864,11 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+        "skew_twostage_rollup": """
+SELECT l_returnflag, count(*) AS n,
+  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem GROUP BY l_returnflag
 """,
         "classify_priority": """
 WITH p AS (
