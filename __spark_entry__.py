@@ -582,6 +582,40 @@ def q_figures_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical contract through the PDF kernel: each document
+    becomes a single-line one-page PDF; the xref walk, Flate decode,
+    content-stream interpretation, layout reconstruction, audit, and
+    selection must reproduce the text exactly (identity oracle)."""
+    _ship(spark)
+    import pandas as pd
+
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk(batches):
+        from smart_ocr_spark.sources.corpus import build_pdf
+
+        for pdf in batches:
+            rows = [
+                (str(int(d)), build_pdf([[(72.0, 720.0, t or "")]]))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pdfs = docs.mapInPandas(mk, "url string, html binary").select(
+        "url",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit("en").alias("lang"),
+    )
+    res = run_extraction(spark, pdfs)
+    return res.select(
+        F.col("url").cast("bigint").alias("doc_id"), F.col("final_text")
+    )
+
+
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical-text contract: the REAL 5-phase pipeline over
     the HTML-wrapped corpus must reproduce every document's text exactly
@@ -703,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the extraction engine itself
         "figures_fanout": q_figures_fanout,
         "extract_roundtrip": q_extract_roundtrip,
+        "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         # rows-only (non-SQL-expressible; pinned by pytest golden tests)
         "extract_pipeline_report": q_extract_pipeline_report,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1073,6 +1108,9 @@ SELECT doc_id,
 FROM documents
 """,
         "extract_roundtrip": """
+SELECT doc_id, text AS final_text FROM documents
+""",
+        "extract_pdf_roundtrip": """
 SELECT doc_id, text AS final_text FROM documents
 """,
     }
