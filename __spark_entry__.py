@@ -616,6 +616,50 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_multipage_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ordered assembly end-to-end: each document's tokens split into
+    three page chunks of a 3-page PDF; the pipeline must reassemble the
+    pages in order with the exact '\n\n---\n\n' separator
+    (state.py:148 contract). The oracle recomputes the chunking and
+    join in SQL."""
+    _ship(spark)
+    import pandas as pd
+
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.size(F.split(F.col("text"), "\\s+")) >= 3
+    )
+
+    def mk(batches):
+        from smart_ocr_spark.sources.corpus import build_pdf
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                toks = (t or "").split()
+                k = (len(toks) + 2) // 3
+                pages = [
+                    [(72.0, 720.0, " ".join(chunk))]
+                    for chunk in (toks[:k], toks[k : 2 * k], toks[2 * k :])
+                ]
+                rows.append((str(int(d)), build_pdf(pages)))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pdfs = docs.mapInPandas(mk, "url string, html binary").select(
+        "url",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit("en").alias("lang"),
+    )
+    res = run_extraction(spark, pdfs)
+    return res.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("final_text").alias("assembled"),
+        F.col("n_pages"),
+    )
+
+
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical-text contract: the REAL 5-phase pipeline over
     the HTML-wrapped corpus must reproduce every document's text exactly
@@ -738,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "figures_fanout": q_figures_fanout,
         "extract_roundtrip": q_extract_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+        "extract_multipage_assembly": q_extract_multipage_assembly,
         # rows-only (non-SQL-expressible; pinned by pytest golden tests)
         "extract_pipeline_report": q_extract_pipeline_report,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1112,5 +1157,21 @@ SELECT doc_id, text AS final_text FROM documents
 """,
         "extract_pdf_roundtrip": """
 SELECT doc_id, text AS final_text FROM documents
+""",
+        "extract_multipage_assembly": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, CAST(ceil(len(toks) / 3.0) AS INT) AS k
+  FROM t WHERE len(toks) >= 3)
+SELECT doc_id,
+  array_to_string(toks[1:k], ' ')
+    || e'\n\n---\n\n' || array_to_string(toks[k+1:2*k], ' ')
+    || e'\n\n---\n\n' || array_to_string(toks[2*k+1:len(toks)], ' ')
+    AS assembled,
+  CAST(3 AS INT) AS n_pages
+FROM c
 """,
     }
