@@ -408,16 +408,23 @@ def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     band (Q8), garbage ceiling (Q9), refusal regex (Q2), verdict."""
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    words = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
+    words = F.filter(
+        F.split(F.lower(text), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != F.lit(""),
+    )
     wc = F.size(words).cast("bigint")
-    nonspace = F.length(F.regexp_replace(text, "\\s", ""))
+    nonspace = F.length(F.regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]", ""))
     awl = F.round(
         F.when(wc > 0, nonspace / wc.cast("double")).otherwise(F.lit(0.0)), 4
     )
     garbage = F.round(
         F.when(
             F.length(text) > 0,
-            F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s.,;:!?'\"()-]", ""))
+            F.length(
+                F.regexp_replace(
+                    text, "[a-zA-Z0-9 \\t\\n\\x0B\\f\\r.,;:!?'\"()-]", ""
+                )
+            )
             / F.length(text).cast("double"),
         ).otherwise(F.lit(1.0)),
         4,
@@ -444,7 +451,10 @@ def q_calibration_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 calibration profiles (benchmark/calibrate.py:155-287): two-level
     rollup per (lang, source) with exact-sum-derived averages."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != F.lit(""),
+    )
     return (
         docs.withColumn("wc", F.size(toks).cast("bigint"))
         .groupBy("lang", "source")
@@ -628,7 +638,7 @@ def q_extract_multipage_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.plans.extract_pipeline import run_extraction
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
-        F.size(F.split(F.col("text"), "\\s+")) >= 3
+        F.size(F.split(F.col("text"), "[ \\t\\n\\x0B\\f\\r]+")) >= 3
     )
 
     def mk(batches):
@@ -798,7 +808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text),"
+    " '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+)
 
 _SHINGLES_SQL = f"""
   SELECT doc_id, unnest(list_distinct(
@@ -1015,7 +1028,7 @@ SELECT doc_id, normalized FROM n
 WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
 m AS (SELECT doc_id, text,
   CAST(len(toks) AS BIGINT) AS word_count,
-  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+  length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS nonspace
   FROM t),
 s AS (SELECT doc_id, word_count,
   round(CASE WHEN word_count > 0
@@ -1161,7 +1174,7 @@ SELECT doc_id, text AS final_text FROM documents
         "extract_multipage_assembly": """
 WITH t AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
   FROM documents),
 c AS (
   SELECT doc_id, toks, CAST(ceil(len(toks) / 3.0) AS INT) AS k

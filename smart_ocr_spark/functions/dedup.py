@@ -283,7 +283,10 @@ def simhash16(
     of md5(token) >= '8' else -1). Lexicographic '>=' on one hex char is
     exactly the high bit of the nibble, identically in Spark and DuckDB.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != F.lit(""),
+    )
     tok_freq = (
         df.select(F.col(id_col), F.explode(toks).alias("tok"))
         .groupBy(id_col, "tok")

@@ -43,8 +43,12 @@ def _word_bounded(word: str) -> str:
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens, empties dropped (parity contract: the DuckDB
-    oracle uses list_filter(regexp_split_to_array(lower(x),'\\s+'),...))."""
-    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
+    oracle splits on the same explicit class; Java \\s and RE2 \\s
+    disagree on vertical tab, so the class is pinned on all sides)."""
+    return F.filter(
+        F.split(F.lower(text), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != F.lit(""),
+    )
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -126,7 +130,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         stop_hits = c if stop_hits is None else stop_hits + c
     garbage = F.when(
         n_chars > 0,
-        F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s.,;:!?'\"()-]", ""))
+        F.length(F.regexp_replace(text, "[a-zA-Z0-9 \\t\\n\\x0B\\f\\r.,;:!?'\"()-]", ""))
         / n_chars.cast("double"),
     ).otherwise(F.lit(1.0))
     punct = F.when(
