@@ -22,6 +22,8 @@ import time
 HEADLINE = [
     # name -> most load-bearing queries per family (see __spark_entry__)
     "extract_roundtrip",        # the engine itself (docs/sec comes from this)
+    "extract_pdf_roundtrip",    # the PDF kernel end-to-end
+    "figures_fanout",           # figure metadata (union-find clustering)
     "rollup_pricing",           # shuffle agg
     "join_broadcast_rollup",    # multi-join + broadcast dims
     "window_first_passing",     # window

@@ -230,10 +230,16 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
     Deliberately does NOT emit the payload: persisting payload bytes is
     what blows the cache at scale (at 10^12 docs it's impossible); the
     repair loop joins back to the source table for the few rows that
-    re-extract.
+    re-extract.  basic_text/layout_text are also dropped — layout is
+    attempts[0].text and basic is consumed by the in-pass assessment, so
+    carrying them would store every document's text three times.
     """
     schema = StructType(
-        list(FIRST_PASS_SCHEMA.fields)
+        [
+            f
+            for f in FIRST_PASS_SCHEMA.fields
+            if f.name not in ("basic_text", "layout_text")
+        ]
         + list(ASSESS_SCHEMA.fields)
         + [
             StructField("native_text", StringType()),
@@ -293,8 +299,6 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
                         r["is_pdf"],
                         r["parse_ok"],
                         r["parse_error"],
-                        r["basic_text"],
-                        r["layout_text"],
                         r["n_blocks"],
                         r["n_tables"],
                         r["n_headings"],

@@ -169,9 +169,13 @@ def run_with_checkpoint(
         }
         for m in metrics
     ]
-    spark.createDataFrame(state_rows).write.mode("append").parquet(
-        _state_path(out_dir)
+    state_schema = (
+        f"{BUCKET_COL} int, input_fp bigint, row_count bigint, "
+        "n_success bigint, status string, committed_at double"
     )
+    spark.createDataFrame(state_rows, schema=state_schema).write.mode(
+        "append"
+    ).parquet(_state_path(out_dir))
     return {
         "processed_buckets": len(state_rows),
         "processed_rows": int(sum(m["row_count"] for m in metrics)),
