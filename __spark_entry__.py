@@ -315,6 +315,20 @@ def q_classify_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S7 JSON source parsing analog: extract a field from the JSON props
+    # column and roll up per event type.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.min("k").alias("min_k"),
+    )
+
+
 def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S6/O12 checkpoint upsert: latest state row per key wins.
     ev = _t(spark, sf_dir, "events")
@@ -770,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_rollup": q_join_broadcast_rollup,
         "skew_twostage_rollup": q_skew_twostage_rollup,
         "classify_priority": q_classify_priority,
+        "json_extract_rollup": q_json_extract_rollup,
         "merge_latest_state": q_merge_latest_state,
         "setop_untried": q_setop_untried,
         "score_levenshtein": q_score_levenshtein,
@@ -977,6 +992,13 @@ SELECT user_id, max(priority) AS max_priority,
        count(*) AS n_events
 FROM r GROUP BY user_id
 """,
+        "json_extract_rollup": """
+SELECT event_type, count(*) AS n,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events GROUP BY event_type
+""",
         "merge_latest_state": """
 SELECT user_id, event_type AS last_event_type,
        CAST(floor(value*100) AS BIGINT) AS last_value_cents,
@@ -1170,6 +1192,13 @@ SELECT doc_id, text AS final_text FROM documents
 """,
         "extract_pdf_roundtrip": """
 SELECT doc_id, text AS final_text FROM documents
+""",
+        "multimodal_meta": """
+SELECT concat('media://', doc_id) AS url, 'image' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+  sha256(text) AS sha256,
+  CASE WHEN octet_length(encode(text)) = 0 THEN 'empty' ELSE 'unknown' END AS format
+FROM documents
 """,
         "extract_multipage_assembly": """
 WITH t AS (
