@@ -483,6 +483,28 @@ def q_calibration_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N19 LaTeX block extraction (reconciler.py:137-192 analog):
+    regexp_extract_all over display-math spans planted deterministically
+    around each document's first token."""
+    docs = _t(spark, sf_dir, "documents")
+    latexy = F.concat(
+        F.lit("intro $$x_"),
+        F.col("doc_id").cast("string"),
+        F.lit(" + y$$ middle text $$\\frac{a}{"),
+        F.col("doc_id").cast("string"),
+        F.lit("}$$ tail"),
+    )
+    blocks = F.expr(r"regexp_extract_all(latexy, '\\$\\$(.*?)\\$\\$', 1)")
+    return docs.select(
+        "doc_id", latexy.alias("latexy")
+    ).select(
+        "doc_id",
+        F.size(blocks).alias("n_blocks"),
+        F.array_join(blocks, "|").alias("blocks_csv"),
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import text_analysis as ta
 
@@ -793,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_battery": q_audit_battery,
         "calibration_rollup": q_calibration_rollup,
         # training-data pipeline
+        "latex_blocks": q_latex_blocks,
         "text_token_stats": q_text_token_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1075,6 +1098,17 @@ SELECT lang, source, count(*) AS n_docs,
   round(CAST(sum(wc) AS DOUBLE) / count(*), 4) AS avg_words,
   CAST(sum(CASE WHEN wc >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_floor
 FROM t GROUP BY lang, source
+""",
+        "latex_blocks": """
+WITH t AS (SELECT doc_id,
+  'intro $$x_' || CAST(doc_id AS VARCHAR) || ' + y$$ middle text $$\\frac{a}{'
+    || CAST(doc_id AS VARCHAR) || '}$$ tail' AS latexy
+  FROM documents),
+b AS (SELECT doc_id,
+  regexp_extract_all(latexy, '\\$\\$(.*?)\\$\\$', 1) AS blocks FROM t)
+SELECT doc_id, CAST(len(blocks) AS INT) AS n_blocks,
+  array_to_string(blocks, '|') AS blocks_csv
+FROM b
 """,
         "text_token_stats": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)

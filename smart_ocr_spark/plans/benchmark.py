@@ -116,6 +116,21 @@ def calibration_profiles(scores: DataFrame) -> DataFrame:
     return prof.withColumn("wer_rank", F.row_number().over(w))
 
 
+def save_results(results: dict[str, DataFrame], out_dir: str) -> None:
+    """JSON round-trip sinks (reference results.json / calibration.json,
+    ``benchmark/runner.py:60-114``, ``calibrate.py:39-72``): one JSON
+    dataset per rollup."""
+    for name in ("scores", "variant_summary", "calibration"):
+        results[name].write.mode("overwrite").json(f"{out_dir}/{name}.json")
+
+
+def load_results(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.json(f"{out_dir}/{name}.json")
+        for name in ("scores", "variant_summary", "calibration")
+    }
+
+
 def run_benchmark(spark: SparkSession, documents: DataFrame) -> dict[str, DataFrame]:
     scores = attempt_scores(spark, documents)
     scores = scores.persist()

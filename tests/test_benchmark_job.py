@@ -64,3 +64,15 @@ def test_perfect_roundtrip_scores_exactly(spark):
     for r in best:
         if r.glen and r.glen > 0:
             assert r.best_nes == 1.0, r
+
+
+def test_results_json_roundtrip(spark, bench, tmp_path_factory):
+    from smart_ocr_spark.plans import benchmark as B
+
+    out = str(tmp_path_factory.mktemp("benchjson"))
+    B.save_results(bench, out)
+    loaded = B.load_results(spark, out)
+    want = {r.variant: r.n for r in bench["variant_summary"].collect()}
+    got = {r.variant: r.n for r in loaded["variant_summary"].collect()}
+    assert got == want
+    assert loaded["scores"].count() == bench["scores"].count()
