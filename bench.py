@@ -60,6 +60,10 @@ def main() -> int:
 
     names = args.queries.split(",") if args.queries else HEADLINE
     qs = entrymod.queries()
+
+    # Warm-up (uncounted): spin up executor Python workers + JIT so the
+    # first timed query doesn't absorb one-time process costs.
+    qs["extract_roundtrip"](spark, "/root/testdata/sf0.001").count()
     timings: dict[str, float] = {}
     n_docs = 0
     extract_sec = None
