@@ -239,7 +239,14 @@ def q_fanout_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_size",
-            F.explode(F.sequence(F.lit(1), F.col("n_chunks"))).alias("chunk_id"),
+            # Spark sequence(1, 0) is DESCENDING [1, 0]; guard so empty
+            # sizes drop the row like DuckDB's empty generate_series.
+            F.explode(
+                F.when(
+                    F.col("n_chunks") >= 1,
+                    F.sequence(F.lit(1), F.col("n_chunks")),
+                ).otherwise(F.array())
+            ).alias("chunk_id"),
         )
         .withColumn("chunk_start", (F.col("chunk_id") - 1) * 10 + 1)
         .withColumn("chunk_end", F.least(F.col("chunk_id") * 10, F.col("p_size")))
@@ -340,10 +347,20 @@ def q_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_type").alias("last_event_type"),
             _cents(F.col("value")).alias("last_value_cents"),
-            # parquet timestamps surface as TIMESTAMP_NTZ; the cast to
-            # LTZ uses the session tz (UTC) so unix_micros == DuckDB's
-            # naive epoch_us.
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+            # parquet timestamps surface as TIMESTAMP_NTZ; derive epoch
+            # micros from NTZ fields directly (unix_date/hour/minute/
+            # second/date_format involve no timezone for NTZ inputs) so
+            # the result matches DuckDB's naive epoch_us on ANY host tz.
+            (
+                (
+                    F.unix_date(F.col("ts").cast("date")).cast("bigint") * 86400
+                    + F.hour("ts").cast("bigint") * 3600
+                    + F.minute("ts").cast("bigint") * 60
+                    + F.second("ts").cast("bigint")
+                )
+                * 1000000
+                + F.date_format("ts", "SSSSSS").cast("bigint")
+            ).alias("last_ts_us"),
         )
     )
 
@@ -422,10 +439,9 @@ def q_audit_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     band (Q8), garbage ceiling (Q9), refusal regex (Q2), verdict."""
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    words = F.filter(
-        F.split(F.lower(text), "[ \\t\\n\\x0B\\f\\r]+"),
-        lambda t: t != F.lit(""),
-    )
+    from smart_ocr_spark.functions.text_analysis import tokens_col
+
+    words = tokens_col(text)
     wc = F.size(words).cast("bigint")
     nonspace = F.length(F.regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]", ""))
     awl = F.round(
@@ -465,10 +481,9 @@ def q_calibration_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 calibration profiles (benchmark/calibrate.py:155-287): two-level
     rollup per (lang, source) with exact-sum-derived averages."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
-        lambda t: t != F.lit(""),
-    )
+    from smart_ocr_spark.functions.text_analysis import tokens_col
+
+    toks = tokens_col(F.col("text"))
     return (
         docs.withColumn("wc", F.size(toks).cast("bigint"))
         .groupBy("lang", "source")
@@ -673,8 +688,10 @@ def q_extract_multipage_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from smart_ocr_spark.plans.extract_pipeline import run_extraction
 
+    from smart_ocr_spark.functions.text_analysis import tokens_col
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
-        F.size(F.split(F.col("text"), "[ \\t\\n\\x0B\\f\\r]+")) >= 3
+        F.size(tokens_col(F.col("text"))) >= 3
     )
 
     def mk(batches):
@@ -883,10 +900,12 @@ def _lang_id_oracle() -> str:
         parts = " + ".join(
             f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
         )
-        marker_exprs.append(f"CAST({parts} AS BIGINT) AS score_{lang}")
+        marker_exprs.append(
+            f"CAST(coalesce({parts}, 0) AS BIGINT) AS score_{lang}"
+        )
     marker_exprs.append(
-        "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT)"
-        " AS score_zh"
+        "CAST(coalesce(len(regexp_extract_all(text,"
+        " '[\\x{4e00}-\\x{9fff}]')), 0) AS BIGINT) AS score_zh"
     )
     scores = ",\n    ".join(marker_exprs)
     # argmax with fixed priority order zh > en > es > de > fr, 'und' if all 0
@@ -1191,7 +1210,9 @@ FROM bits GROUP BY doc_id
 """,
         "embedding_centroids": """
 SELECT label, CAST(idx AS INT) AS idx,
-  round(avg(CAST(val AS DOUBLE)), 4) + 0.0 AS centroid, count(*) AS n
+  round(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        / 1e9 / count(*), 4) + 0.0 AS centroid,
+  count(*) AS n
 FROM (SELECT label, unnest(embedding) AS val,
         generate_subscripts(embedding, 1) AS idx FROM embeddings)
 GROUP BY label, idx

@@ -256,7 +256,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → exact Jaccard verification on candidates only."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
+    # persist: the signature pass (full-corpus Python MD5) feeds one
+    # union branch per band, and the candidate frame is consumed three
+    # times — without persist the kernel re-runs ~6x over the corpus.
+    sig = minhash_signatures(df, id_col, text_col).persist()
+    cands = lsh_candidate_pairs(sig, id_col).persist()
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
@@ -322,7 +326,9 @@ def simhash16(
 def _simhash64_one(text: str) -> int:
     from collections import Counter
 
-    weights = Counter((text or "").lower().split())
+    # pinned ASCII tokenization (str.split() is Unicode-aware and would
+    # diverge from simhash16 / the oracle tokenizer on NBSP etc.)
+    weights = Counter(_tokenize(text))
     acc = [0] * 64
     for tok, w in weights.items():
         h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
@@ -353,7 +359,7 @@ def simhash_near_pairs(
     Hamming<=3 of 64 bits shares at least one exact 16-bit chunk), join
     per chunk, verify with bit_count. Avoids the N^2 self-join.
     """
-    hashed = with_simhash64(df, text_col).select(id_col, "simhash64")
+    hashed = with_simhash64(df, text_col).select(id_col, "simhash64").persist()
     chunks = None
     for c in range(4):
         part = hashed.select(

@@ -157,9 +157,19 @@ def label_centroids(
         .withColumn("idx", F.col("idx") + 1)  # 1-based, DuckDB subscripts
         .groupBy(label_col, "idx")
         .agg(
-            # + 0.0 normalizes IEEE negative zero (round(-2e-5, 4) is
-            # -0.0, which string-compares differently from 0.0)
-            (F.round(F.avg("col"), 4) + F.lit(0.0)).alias("centroid"),
+            # exact-sum parity convention: per-value floor(x*1e9) into
+            # BIGINT sums deterministically on any engine/partitioning
+            # (double avg is summation-order-dependent); + 0.0 clears
+            # IEEE negative zero after the divide
+            (
+                F.round(
+                    F.sum(F.floor(F.col("col") * 1e9).cast("bigint"))
+                    / 1e9
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("centroid"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -291,11 +301,13 @@ def lsh_topk(
     base = with_norm(corpus, vec_col).select(
         F.col(id_col), F.col("__v"), F.col("__norm")
     )
+    base = base.persist()  # norm pass feeds one branch per table
     bucketed = None
     for t in range(n_tables):
         udf = make_bucket_udf(dim, n_planes, t)
         part = base.withColumn("bucket", udf(F.col("__v")))
         bucketed = part if bucketed is None else bucketed.unionByName(part)
+    bucketed = bucketed.persist()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = (
         a.join(b, "bucket")

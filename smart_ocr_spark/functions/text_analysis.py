@@ -81,8 +81,12 @@ def lang_scores(text: Column) -> dict[str, Column]:
         for w in words:
             c = F.regexp_count(F.lower(text), F.lit(_word_bounded(w)))
             hits = c if hits is None else hits + c
-        scores[lang] = hits.cast("bigint")
-    scores["zh"] = F.regexp_count(text, F.lit(_CJK_RE_JAVA)).cast("bigint")
+        # coalesce: regexp_count(NULL) is NULL; NULL text must score 0
+        # so the argmax lands on 'und' identically in Spark and the oracle
+        scores[lang] = F.coalesce(hits, F.lit(0)).cast("bigint")
+    scores["zh"] = F.coalesce(
+        F.regexp_count(text, F.lit(_CJK_RE_JAVA)), F.lit(0)
+    ).cast("bigint")
     return scores
 
 
@@ -175,8 +179,12 @@ _WINNOW_W = 4  # window size
 
 def _winnow_one(text: str) -> int:
     """Winnowing (Schleimer et al., SIGMOD'03): min hash per sliding
-    window of k-gram hashes, XOR-folded to one 63-bit fingerprint."""
-    s = "".join((text or "").lower().split())
+    window of k-gram hashes, XOR-folded to one 63-bit fingerprint.
+    Whitespace stripping uses the pinned ASCII class (str.split() is
+    Unicode-aware and would diverge from the tokenizer contract)."""
+    import re
+
+    s = re.sub(r"[ \t\n\x0b\f\r]+", "", (text or "").lower())
     if len(s) < _WINNOW_K:
         h = hashlib.md5(s.encode("utf-8")).digest()
         return int.from_bytes(h[:8], "big") >> 1

@@ -48,12 +48,22 @@ def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
 
 def bucket_fingerprints(documents: DataFrame, n_buckets: int) -> DataFrame:
     """One lineage row per bucket: order-independent content fingerprint
-    (xor of per-row hashes — no overflow under ANSI, order-free) + count."""
+    + row count.
+
+    The fingerprint covers EVERY pipeline input column (url, payload,
+    lang, warc_ts), not just (url, html), and the skip decision compares
+    (fingerprint, row_count) — XOR alone is blind to duplicated rows
+    (x XOR x cancels) and to changes in columns it doesn't hash."""
+    cols = ["url", "sha2(html, 256)"]
+    if "lang" in documents.columns:
+        cols.append("lang")
+    if "warc_ts" in documents.columns:
+        cols.append("cast(warc_ts as string)")
     return (
         with_bucket(documents, n_buckets)
         .groupBy(BUCKET_COL)
         .agg(
-            F.expr("bit_xor(xxhash64(url, sha2(html, 256)))").alias("input_fp"),
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("input_fp"),
             F.count(F.lit(1)).alias("row_count"),
         )
     )
@@ -82,14 +92,21 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
     latest = (
         state.groupBy(BUCKET_COL)
-        .agg(F.max(F.struct("committed_at", "status", "input_fp")).alias("s"))
+        .agg(
+            F.max(
+                F.struct("committed_at", "status", "input_fp", "row_count")
+            ).alias("s")
+        )
         .select(
             BUCKET_COL,
             F.col("s.status").alias("status"),
             F.col("s.input_fp").alias("input_fp"),
+            F.col("s.row_count").alias("row_count"),
         )
     )
-    return latest.where(F.col("status") == "complete").select(BUCKET_COL, "input_fp")
+    return latest.where(F.col("status") == "complete").select(
+        BUCKET_COL, "input_fp", "row_count"
+    )
 
 
 def run_with_checkpoint(
@@ -111,11 +128,18 @@ def run_with_checkpoint(
     fps = bucket_fingerprints(documents, n_buckets)
     done = completed_buckets(spark, out_dir)
     if done is not None:
-        # reprocess when missing OR fingerprint drifted (checksum rule)
+        # reprocess when missing OR fingerprint/row-count drifted
+        # (checksum rule, metadata.py:58-67 analog)
         pending = fps.join(
-            done.withColumnRenamed("input_fp", "done_fp"), BUCKET_COL, "left"
+            done.withColumnRenamed("input_fp", "done_fp").withColumnRenamed(
+                "row_count", "done_rows"
+            ),
+            BUCKET_COL,
+            "left",
         ).where(
-            F.col("done_fp").isNull() | (F.col("done_fp") != F.col("input_fp"))
+            F.col("done_fp").isNull()
+            | (F.col("done_fp") != F.col("input_fp"))
+            | (F.col("done_rows") != F.col("row_count"))
         )
     else:
         pending = fps
@@ -134,7 +158,9 @@ def run_with_checkpoint(
         spark, subset.drop(BUCKET_COL), repartition=True
     )
     out = extract_pipeline.results_for_write(results)
-    out = with_bucket(out, n_buckets)
+    # persist: the write AND the metrics rollup both consume this frame;
+    # without it the consensus-selection Arrow pass runs twice.
+    out = with_bucket(out, n_buckets).persist()
 
     # Dynamic overwrite replaces exactly the buckets written here —
     # a re-run of a crashed bucket is idempotent (MERGE-equivalent).
@@ -176,6 +202,7 @@ def run_with_checkpoint(
     spark.createDataFrame(state_rows, schema=state_schema).write.mode(
         "append"
     ).parquet(_state_path(out_dir))
+    out.unpersist()
     return {
         "processed_buckets": len(state_rows),
         "processed_rows": int(sum(m["row_count"] for m in metrics)),

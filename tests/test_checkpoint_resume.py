@@ -78,3 +78,35 @@ def test_bucket_assignment_is_content_derived(spark, docs):
         "url", cp.BUCKET_COL
     )
     assert a.exceptAll(b).count() == 0
+
+
+def test_duplicated_row_invalidates_bucket(spark, docs, tmp_path_factory):
+    """XOR fingerprints cancel on duplicated rows (x^x=0); the row-count
+    comparison must catch what the fingerprint cannot."""
+    out = str(tmp_path_factory.mktemp("ckpt3"))
+    cp.run_with_checkpoint(spark, docs, out, N_BUCKETS)
+
+    dup_url = docs.select("url").orderBy("url").first().url
+    dup_row = docs.where(F.col("url") == dup_url)
+    with_dup = docs.unionByName(dup_row)
+    r = cp.run_with_checkpoint(spark, with_dup, out, N_BUCKETS)
+    assert r["processed_buckets"] == 1
+    res = cp.read_results(spark, out)
+    assert res.count() == N_DOCS + 1
+    assert res.where(F.col("url") == dup_url).count() == 2
+
+
+def test_lang_change_invalidates_bucket(spark, docs, tmp_path_factory):
+    """lang is a pipeline input carried to results; the fingerprint must
+    cover it, not just (url, html)."""
+    out = str(tmp_path_factory.mktemp("ckpt4"))
+    cp.run_with_checkpoint(spark, docs, out, N_BUCKETS)
+    target = docs.select("url").orderBy("url").first().url
+    mutated = docs.withColumn(
+        "lang",
+        F.when(F.col("url") == target, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    r = cp.run_with_checkpoint(spark, mutated, out, N_BUCKETS)
+    assert r["processed_buckets"] == 1
+    got = cp.read_results(spark, out).where(F.col("url") == target).first().lang
+    assert got == "xx"
