@@ -39,23 +39,19 @@ EASY = "easy"
 HARD = "hard"
 
 
+# control chars minus \t\n\r, U+FFFD, PUA, surrogates — one class, one
+# C-speed scan (the per-char Python loop was the assess hotspot)
+_SOURCE_GARBAGE_RE = re.compile(
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\ufffd\\ue000-\\uf8ff\\ud800-\\udfff]"
+)
+
+
 def source_garbage_ratio(text: str) -> float:
     """Source-side garbage ratio (reference born_digital.py:668-693):
     control chars (minus \\t\\n\\r), U+FFFD, PUA, surrogates."""
     if not text:
         return 0.0
-    garbage = 0
-    for ch in text:
-        cp = ord(ch)
-        if cp < 0x20 and cp not in (0x09, 0x0A, 0x0D):
-            garbage += 1
-        elif cp == 0xFFFD:
-            garbage += 1
-        elif 0xE000 <= cp <= 0xF8FF:
-            garbage += 1
-        elif 0xD800 <= cp <= 0xDFFF:
-            garbage += 1
-    return garbage / len(text)
+    return len(_SOURCE_GARBAGE_RE.findall(text)) / len(text)
 
 
 def confidence_score(
