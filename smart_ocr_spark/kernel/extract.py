@@ -73,6 +73,9 @@ def extract_payload_full(payload: bytes) -> dict:
             out["basic_text"] = layout_text.replace("\n\n---\n\n", "\n\n")
             for k, v in signals.items():
                 out[k] = v
+            # the PDF signal set has no block-derived total_chars; the
+            # repair loop's has-content gate needs a real value here
+            out["total_chars"] = len(out["basic_text"])
         else:
             html = payload.decode("utf-8", "replace")
             root = parse_html(html)
@@ -103,10 +106,12 @@ def extract_payload_variant(payload: bytes, variant: str) -> str | None:
     """
     try:
         if sniff_pdf(payload):
-            text, _ = extract_pdf(
-                payload, "basic" if variant in ("basic", "raw") else "layout"
-            )
-            return finalize_text(text) if variant not in ("basic", "raw") else text
+            # "density" must be a genuinely different kernel config for
+            # PDFs too (basic content-stream mode, normalized) — mapping
+            # it to layout duplicated the failing attempt byte-for-byte
+            mode = "basic" if variant in ("basic", "raw", "density") else "layout"
+            text, _ = extract_pdf(payload, mode)
+            return text if variant in ("basic", "raw") else finalize_text(text)
         html = payload.decode("utf-8", "replace")
         root = parse_html(html)
         blocks = segment_blocks(root)

@@ -180,7 +180,11 @@ def doc_figures(payload: bytes) -> list[dict]:
             break
         try:
             media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
-            page_w, page_h = float(media[2]), float(media[3])
+            media = [doc.resolve(v) for v in media]
+            # MediaBox is [x0 y0 x1 y1]; nonzero origins (cropped scans)
+            # must not inflate the page size the filters normalize by
+            page_w = float(media[2]) - float(media[0])
+            page_h = float(media[3]) - float(media[1])
             content = doc.page_content(page)
             res = doc.resolve(page.get("Resources")) or {}
             xobjs = (

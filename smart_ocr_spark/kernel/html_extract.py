@@ -145,6 +145,7 @@ _AUTOCLOSE = {
 
 def parse_html(html: str) -> Node:
     """Tokenize + build a DOM tree. Tolerant of malformed markup."""
+    html_lower = html.lower()  # one pass; raw-text scans reuse it
     root = Node(tag="#root")
     stack = [root]
     i = 0
@@ -208,7 +209,7 @@ def parse_html(html: str) -> Node:
 
         # Raw-text elements: swallow until the explicit close tag.
         if name in RAW_TEXT_ELEMENTS:
-            close = html.lower().find(f"</{name}", i)
+            close = html_lower.find(f"</{name}", i)
             i = n if close == -1 else html.find(">", close) + 1
             if i == 0:
                 i = n
@@ -272,6 +273,28 @@ def segment_blocks(root: Node) -> list[Block]:
     """Walk the DOM emitting Blocks in document order."""
     blocks: list[Block] = []
 
+    def flush_partial(sink: list | None, in_boiler: bool, depth: int) -> None:
+        """Emit the enclosing block's text accumulated SO FAR before a
+        nested block element, preserving reading order ("intro <p>x</p>
+        tail" must emit intro, x, tail — not x, intro+tail)."""
+        if sink is None:
+            return
+        text = _collapse_ws("".join(sink[0]))
+        if text:
+            blocks.append(
+                Block(
+                    kind="p",
+                    text=text,
+                    link_chars=sink[1],
+                    total_chars=sink[2],
+                    in_boilerplate_container=in_boiler,
+                    depth=depth,
+                )
+            )
+        sink[0].clear()
+        sink[1] = 0
+        sink[2] = 0
+
     def walk(
         node: Node,
         in_boiler: bool,
@@ -313,6 +336,7 @@ def segment_blocks(root: Node) -> list[Block]:
             link = in_link or tag == "a"
 
             if tag == "table":
+                flush_partial(sink, in_boiler, depth)
                 rows = _extract_table(child)
                 if rows:
                     flat = " ".join(c for r in rows for c in r if c)
@@ -334,14 +358,18 @@ def segment_blocks(root: Node) -> list[Block]:
                 continue
 
             if tag in BLOCK_ELEMENTS:
+                flush_partial(sink, in_boiler, depth)
                 kind = _HEADING_TAGS.get(tag) or (
                     tag if tag in ("li", "pre", "title", "caption") else "p"
                 )
                 inner: list = [[], 0, 0]
                 walk(child, boiler, link, depth + 1, inner)
-                text = _collapse_ws(decode_entities("".join(inner[0])))
+                # text nodes were entity-decoded when appended to the
+                # sink; decoding again here corrupted escaped markup
+                # ("&amp;lt;" must render as "&lt;", not "<")
+                text = _collapse_ws("".join(inner[0]))
                 if tag == "pre":
-                    text = decode_entities("".join(inner[0])).strip("\n")
+                    text = "".join(inner[0]).strip("\n")
                 if text:
                     blocks.append(
                         Block(
@@ -438,9 +466,10 @@ def classify_blocks(blocks: list[Block], variant: str = "layout") -> list[bool]:
             provisional.append(0)
         elif b.word_count >= CONTENT_BLOCK_WORDS:
             provisional.append(1)
-        elif b.word_count >= SHORT_BLOCK_WORDS:
-            provisional.append(-1)
         else:
+            # every sub-threshold block (tiny or medium) is smoothing-
+            # undecided: kept next to solid content, or outright when the
+            # page has no solid content at all (lone-block safeguard)
             provisional.append(-1)
 
     # Neighborhood smoothing: undecided shorts survive next to solid content.

@@ -325,7 +325,13 @@ class PdfDocument:
     # -- object access --
 
     def resolve(self, obj):
+        hops = 0
         while isinstance(obj, Ref):
+            hops += 1
+            if hops > 32:
+                # a self/cyclic indirect reference would spin forever;
+                # malformed input must classify, not hang the task
+                raise PdfError("indirect reference cycle")
             obj = self.get_object(obj.num)
         return obj
 

@@ -611,9 +611,11 @@ def figure_metadata(df: DataFrame, url_col: str = "url", payload_col: str = "htm
 
         for pdf in batches:
             rows = []
+            from smart_ocr_spark.kernel.extract import sniff_pdf
+
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                if not b.startswith(b"%PDF"):
+                if not sniff_pdf(b):
                     continue
                 for fig in doc_figures(b):
                     rows.append(
@@ -666,8 +668,15 @@ def with_selection(df: DataFrame) -> DataFrame:
         for atts, native, bd in zip(attempts, native_text, is_bd):
             atts = list(atts)
             native = native or ""
+            # word-capped agreement: the pairwise word-DP is O(m*n) and
+            # informational only — bound it so giant docs can't dominate
+            # the selection pass (cap documented, not silent)
             agreement = score_kernel.pairwise_agreement(
-                [a["text"] for a in atts if (a["text"] or "").strip()]
+                [
+                    " ".join((a["text"] or "").split()[:2000])
+                    for a in atts
+                    if (a["text"] or "").strip()
+                ]
             )
             passing = [a for a in atts if a["audit_passed"]]
             if passing:
@@ -687,7 +696,12 @@ def with_selection(df: DataFrame) -> DataFrame:
                             a["text"] or "",
                             bool(a["audit_passed"]),
                             int(a["word_count"] or 0),
-                            float(a["failure_confidence"] or 0.0),
+                            # score_attempt wants QUALITY confidence
+                            # (reference: engine-reported); our
+                            # failure_confidence is certainty-of-broken,
+                            # so invert it — passing raw failure
+                            # confidence rewarded the MORE broken attempt
+                            max(0.0, 1.0 - float(a["failure_confidence"] or 0.0)),
                             native,
                         ),
                         a["attempt_idx"],

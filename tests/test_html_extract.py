@@ -160,3 +160,23 @@ def test_density_variant_stricter():
 def test_malformed_html_no_crash():
     for frag in ["<p>unclosed", "<<<>>>", "</close-only>", "<a href=>x", "", "<table><tr>"]:
         extract_html(frag)  # must not raise
+
+
+def test_entities_decoded_exactly_once():
+    from smart_ocr_spark.kernel.extract import extract_payload_full
+
+    words = "filler words to pass the extraction floors " * 3
+    html = f"<html><body><p>{words} a &amp;lt; b and &amp;amp; c</p></body></html>"
+    r = extract_payload_full(html.encode())
+    assert "a &lt; b" in r["layout_text"], r["layout_text"]
+    assert "&amp; c" in r["layout_text"]
+    assert "a < b" not in r["layout_text"]
+
+
+def test_mixed_content_preserves_reading_order():
+    from smart_ocr_spark.kernel.html_extract import parse_html, segment_blocks
+
+    html = "<html><body><div>intro text here<p>nested para</p>tail text after</div></body></html>"
+    blocks = segment_blocks(parse_html(html))
+    texts = [b.text for b in blocks]
+    assert texts == ["intro text here", "nested para", "tail text after"], texts

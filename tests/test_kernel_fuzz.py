@@ -50,3 +50,17 @@ def test_truncated_pdf_prefixes():
     for cut in range(0, len(pdf), max(len(pdf) // 40, 1)):
         r = extract_payload_full(pdf[:cut])
         assert isinstance(r["parse_ok"], bool), cut
+
+
+def test_cyclic_indirect_reference_does_not_hang():
+    # object 1 is a reference to itself; resolve() must classify, not spin
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n1 0 R\nendobj\n"
+        b"2 0 obj\n<< /Type /Catalog /Pages 1 0 R >>\nendobj\n"
+        b"xref\n0 3\n0000000000 65535 f \n0000000009 00000 n \n"
+        b"0000000031 00000 n \n"
+        b"trailer\n<< /Size 3 /Root 2 0 R >>\nstartxref\n80\n%%EOF\n"
+    )
+    r = extract_payload_full(pdf)
+    assert isinstance(r["parse_ok"], bool)
