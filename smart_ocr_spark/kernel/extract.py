@@ -69,8 +69,9 @@ def extract_payload_full(payload: bytes) -> dict:
             out["is_pdf"] = True
             # One parse; page separator differs per variant.
             layout_text, signals = extract_pdf(payload, "layout")
+            page_texts = signals.pop("page_texts")
             out["layout_text"] = finalize_text(layout_text)
-            out["basic_text"] = layout_text.replace("\n\n---\n\n", "\n\n")
+            out["basic_text"] = "\n\n".join(page_texts)
             for k, v in signals.items():
                 out[k] = v
             # the PDF signal set has no block-derived total_chars; the

@@ -767,6 +767,10 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
 
     text = "\n\n---\n\n".join(page_texts) if variant != "basic" else "\n\n".join(page_texts)
     signals = {
+        # raw per-page texts so callers can build other joins without a
+        # lossy string replace on the separator (a page legitimately
+        # containing a '---' line must not be corrupted)
+        "page_texts": page_texts,
         "n_pages": len(pages),
         "font_count": len(n_fonts),
         "has_equations": math_font,

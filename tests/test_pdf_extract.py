@@ -109,3 +109,23 @@ def test_truncated_pdf_raises_or_degrades():
         assert "hello world" in text
     except PdfError:
         pass  # acceptable: flagged as failure row upstream
+
+
+def test_basic_text_not_corrupted_by_literal_separator_lines():
+    """A page whose text legitimately contains a '---' horizontal-rule
+    line must survive the basic join (previously derived by string-
+    replacing the page separator out of the layout text)."""
+    from smart_ocr_spark.kernel.extract import extract_payload_full
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    pdf = build_pdf(
+        [
+            [(72.0, 720.0, "first page body"), (72.0, 700.0, "---"),
+             (72.0, 680.0, "after the rule")],
+            [(72.0, 720.0, "second page body")],
+        ]
+    )
+    r = extract_payload_full(pdf)
+    assert "---" in r["basic_text"]
+    # exactly one page separator in layout (2 pages), none invented
+    assert r["layout_text"].count("\n\n---\n\n") >= 1
