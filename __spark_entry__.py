@@ -699,8 +699,18 @@ def q_extract_multipage_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
+            from smart_ocr_spark.functions.dedup import _tokenize as _ascii_tok
+            import re as _re
+
             for d, t in zip(pdf["doc_id"], pdf["text"]):
-                toks = (t or "").split()
+                # pinned ASCII whitespace split (str.split() is Unicode-
+                # aware and diverges from the oracle on NBSP etc.); case
+                # is preserved, unlike _tokenize, so split directly
+                toks = [
+                    w
+                    for w in _re.split(r"[ \t\n\x0b\f\r]+", t or "")
+                    if w
+                ]
                 k = (len(toks) + 2) // 3
                 pages = [
                     [(72.0, 720.0, " ".join(chunk))]
@@ -1099,7 +1109,7 @@ s AS (SELECT doc_id, word_count,
         THEN nonspace / CAST(word_count AS DOUBLE) ELSE 0.0 END, 4)
     AS avg_word_len,
   round(CASE WHEN length(text) > 0 THEN
-    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s.,;:!?''"()-]', '', 'g'))
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,;:!?''"()-]', '', 'g'))
       AS DOUBLE) / length(text) ELSE 1.0 END, 4) AS garbage_ratio,
   regexp_matches(lower(text), 'i cannot|i can''t|unable to process|as an ai')
     AS refusal_hit
@@ -1145,7 +1155,7 @@ WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks,
   CAST(length(text) AS BIGINT) AS n_chars FROM documents),
 m AS (SELECT doc_id, toks, n_chars,
   CASE WHEN n_chars > 0 THEN
-    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s.,;:!?''"()-]', '', 'g'))
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,;:!?''"()-]', '', 'g'))
       AS DOUBLE) / n_chars ELSE 1.0 END AS garbage,
   CASE WHEN n_chars > 0 THEN
     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / n_chars

@@ -58,12 +58,20 @@ def main() -> int:
     spark = build_session("bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = args.queries.split(",") if args.queries else HEADLINE
+    names = (
+        [n.strip() for n in args.queries.split(",")] if args.queries else HEADLINE
+    )
     qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}; valid: {sorted(qs)}")
 
     # Warm-up (uncounted): spin up executor Python workers + JIT so the
     # first timed query doesn't absorb one-time process costs.
-    qs["extract_roundtrip"](spark, "/root/testdata/sf0.001").count()
+    try:
+        qs["extract_roundtrip"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass  # warm-up is best-effort (path may not exist off-sandbox)
     timings: dict[str, float] = {}
     n_docs = 0
     extract_sec = None

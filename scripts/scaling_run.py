@@ -69,15 +69,20 @@ def main() -> int:
     # single-task crossJoin inside the measurement.
     import tempfile
 
+    sf_tag = os.path.basename(args.sf_dir.rstrip("/"))
     corpus_path = os.path.join(
-        tempfile.gettempdir(), f"scaling_corpus_r{args.replicas}"
+        tempfile.gettempdir(), f"scaling_corpus_{sf_tag}_r{args.replicas}"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         build_corpus(spark, args.sf_dir, args.replicas).repartition(64).write.mode(
             "overwrite"
         ).parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
-    n_docs = corpus.count()  # warm-up: forces scan + worker spin-up
+    n_docs = corpus.count()
+    # real warm-up: run the pipeline on a slice so executor Python
+    # workers fork + import BEFORE the timed region (a bare count()
+    # never starts Python workers and would bias high-N runs)
+    run_extraction(spark, corpus.limit(512)).count()
 
     from pyspark.sql import functions as F
 

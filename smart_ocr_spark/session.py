@@ -63,18 +63,27 @@ def build_session(
     extraction workers: payloads can be ~1 MB+ each, so small batches keep
     worker memory flat regardless of blob size (O4: size-bucketed safety).
     """
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not str(cpus).isdigit():
+        cpus = "32"
+    builder = SparkSession.builder.appName(app_name)
+    # Respect a master set by spark-submit (--master yarn/k8s/...):
+    # unconditionally calling .master() here would silently turn a
+    # cluster submission into a local run.
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.adaptive.enabled", "true")
+        builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+            str(shuffle_partitions or int(cpus)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
