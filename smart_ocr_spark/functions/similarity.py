@@ -45,12 +45,16 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("__v", v).withColumn("__norm", norm_col(F.col("__v")))
 
 
+BRUTE_FORCE_MAX_ROWS = 1_000_000  # ~0.5 GB at dim=64 float64: broadcastable
+
+
 def cosine_topk(
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    max_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every query vector.
 
@@ -60,9 +64,19 @@ def cosine_topk(
     brute-force baseline done right: no N^2 row materialization, no
     window shuffle; one map pass over the query side. (A pure-JVM
     zip_with/aggregate formulation is ~50x slower: interpreted HOF per
-    pair.) At 100 TB the corpus side must fit the broadcast — beyond
-    that, use :func:`lsh_topk`. Rank ties broken by neighbor id.
+    pair.) The corpus side must fit the broadcast: ``max_rows`` is a
+    HARD guard, not advisory — beyond it this raises instead of
+    silently OOMing the driver; use :func:`lsh_topk` (the scale path)
+    or :func:`ivf_topk`. Rank ties broken by neighbor id.
     """
+    n_corpus = corpus.count()
+    if n_corpus > max_rows:
+        raise ValueError(
+            f"cosine_topk is the brute-force baseline: corpus has "
+            f"{n_corpus} rows > max_rows={max_rows}; it collects the "
+            "whole corpus to the driver. Use lsh_topk (bucketed, "
+            "scale-safe) or ivf_topk, or raise max_rows explicitly."
+        )
     rows = (
         with_norm(corpus, vec_col).select(F.col(id_col), "__v", "__norm").collect()
     )
@@ -116,27 +130,59 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    exact_max_rows: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) above threshold."""
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold.
+
+    Default path is LSH-gated: candidate pairs come from shared
+    random-hyperplane buckets (``n_tables`` probe tables — recall grows
+    with tables since near-identical vectors rarely disagree on many
+    hyperplanes), then an exact cosine filter. Bucket-keyed shuffle,
+    no all-pairs blowup — this is the form that survives 100 TB.
+
+    ``exact=True`` keeps the O(N^2) crossJoin verification oracle but
+    refuses beyond ``exact_max_rows`` (quadratic cost is a hard wall,
+    not a slow path).
+    """
     n = with_norm(corpus, vec_col).select(
         F.col(id_col), F.col("__v"), F.col("__norm")
     )
-    a, b = n.alias("a"), n.alias("b")
+    if exact:
+        n_corpus = corpus.count()
+        if n_corpus > exact_max_rows:
+            raise ValueError(
+                f"exact near-dup is O(N^2): {n_corpus} rows > "
+                f"exact_max_rows={exact_max_rows}. Use the default "
+                "LSH-gated path or raise exact_max_rows explicitly."
+            )
+        a, b = n.alias("a"), n.alias("b")
+        pairs = a.crossJoin(b)
+    else:
+        bucketed = None
+        for t in range(n_tables):
+            udf = make_bucket_udf(dim, n_planes, t)
+            part = n.withColumn("bucket", udf(F.col("__v")))
+            bucketed = part if bucketed is None else bucketed.unionByName(part)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(b, "bucket")
     return (
-        a.crossJoin(b)
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        pairs.where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .where((F.col("a.__norm") > 0) & (F.col("b.__norm") > 0))
-        .withColumn(
-            "cosine",
-            dot_col(F.col("a.__v"), F.col("b.__v"))
-            / (F.col("a.__norm") * F.col("b.__norm")),
-        )
-        .where(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.round("cosine", 4).alias("cosine"),
+            (
+                dot_col(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__norm") * F.col("b.__norm"))
+            ).alias("cosine"),
         )
+        .where(F.col("cosine") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.round(F.max("cosine"), 4).alias("cosine"))
     )
 
 
@@ -272,13 +318,23 @@ def _planes(dim: int, n_planes: int, table: int) -> np.ndarray:
     return w
 
 
-def make_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
-    planes = _planes(dim, n_planes, table)
+def make_bucket_udf(dim: int | None = None, n_planes: int = 12, table: int = 0):
+    """Random-hyperplane bucket id per vector.  ``dim`` is only a
+    precompute hint: the planes are deterministic per (table, plane,
+    dim-block), so they are derived lazily from the observed vector
+    width — the same vectors hash to the same bucket on every executor
+    and run regardless of whether the caller knew the width."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+    if dim is not None:
+        planes_by_dim[dim] = _planes(dim, n_planes, table)
 
     @F.pandas_udf(StringType())
     def bucket(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (mat @ planes.T) >= 0  # (batch, n_planes)
+        d = mat.shape[1]
+        if d not in planes_by_dim:
+            planes_by_dim[d] = _planes(d, n_planes, table)
+        signs = (mat @ planes_by_dim[d].T) >= 0  # (batch, n_planes)
         weights = 1 << np.arange(n_planes)
         codes = (signs * weights).sum(axis=1)
         return pd.Series([f"{table}:{c}" for c in codes])
@@ -289,7 +345,7 @@ def make_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
 def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 10,
     n_tables: int = 2,
     id_col: str = "vec_id",

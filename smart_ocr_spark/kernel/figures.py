@@ -150,8 +150,20 @@ def cluster_boxes(boxes: list[Box], gap: float = CLUSTER_GAP) -> list[Box]:
     return sorted(merged.values(), key=lambda b: (-b[3], b[0]))  # y-desc, x-asc
 
 
-def passes_filters(box: Box, page_w: float, page_h: float) -> bool:
-    x0, y0, x1, y1 = box
+def passes_filters(
+    box: Box, page_w: float, page_h: float, origin: tuple[float, float] = (0.0, 0.0)
+) -> bool:
+    """``box`` is in absolute content-stream coordinates; ``origin`` is
+    the MediaBox lower-left corner.  The margin bands and area ratios
+    are defined in the page frame, so translate first — a nonzero
+    MediaBox origin (cropped scans) would otherwise shift the
+    header/footer exclusion bands onto valid figures."""
+    x0, y0, x1, y1 = (
+        box[0] - origin[0],
+        box[1] - origin[1],
+        box[2] - origin[0],
+        box[3] - origin[1],
+    )
     w, h = x1 - x0, y1 - y0
     if w < MIN_SIDE or h < MIN_SIDE:
         return False
@@ -205,7 +217,9 @@ def doc_figures(payload: bytes) -> list[dict]:
             for box in boxes:
                 if page_count >= MAX_PER_PAGE or fig_num >= MAX_TOTAL:
                     break
-                if not passes_filters(box, page_w, page_h):
+                if not passes_filters(
+                    box, page_w, page_h, origin=(float(media[0]), float(media[1]))
+                ):
                     continue
                 fig_num += 1
                 page_count += 1

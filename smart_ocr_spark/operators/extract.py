@@ -546,7 +546,9 @@ def fused_repair_round(df: DataFrame) -> DataFrame:
     fused; the chained-UDF formulation is three sequential
     ArrowEvalPython nodes).  Input must carry the payload column
     (``html``), joined back from the source table by the caller; output
-    drops it.  Only ``attempts`` grows for rows that needed repair."""
+    drops it.  Only ``attempts`` grows for rows that needed repair;
+    rows whose variant chain is spent get ``repair_exhausted`` = True
+    (when the caller carries that column) so later rounds skip them."""
     schema = StructType([f for f in df.schema.fields if f.name != "html"])
     col_names = [f.name for f in schema.fields]
 
@@ -579,6 +581,8 @@ def fused_repair_round(df: DataFrame) -> DataFrame:
                     dominant, {a["variant"] for a in atts}
                 )
                 if variant is None:
+                    if "repair_exhausted" in row:
+                        row["repair_exhausted"] = True
                     continue
                 b = bytes(payload) if payload is not None else b""
                 text = extract_payload_variant(b, variant)

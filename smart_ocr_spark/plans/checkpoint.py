@@ -152,6 +152,7 @@ def run_with_checkpoint(
 
     todo_ids = [r[BUCKET_COL] for r in pending_rows]
     fp_by_bucket = {r[BUCKET_COL]: r["input_fp"] for r in pending_rows}
+    in_rows_by_bucket = {r[BUCKET_COL]: r["row_count"] for r in pending_rows}
     subset = with_bucket(documents, n_buckets).where(F.col(BUCKET_COL).isin(todo_ids))
 
     results = extract_pipeline.run_extraction(
@@ -184,20 +185,32 @@ def run_with_checkpoint(
         .collect()
     )
     now = float(time.time())
+    # The lineage row_count is the INPUT-side count (the same quantity
+    # bucket_fingerprints computes on resume) — comparing the resume
+    # check against the OUTPUT count would mark every bucket dirty the
+    # moment any stage fans out or drops rows.  Buckets whose output is
+    # empty still commit a lineage row (metrics keyed off the output
+    # frame would skip them and they'd reprocess forever).
+    out_by_bucket = {m[BUCKET_COL]: m for m in metrics}
     state_rows = [
         {
-            BUCKET_COL: m[BUCKET_COL],
-            "input_fp": fp_by_bucket[m[BUCKET_COL]],
-            "row_count": m["row_count"],
-            "n_success": m["n_success"],
+            BUCKET_COL: bid,
+            "input_fp": fp_by_bucket[bid],
+            "row_count": in_rows_by_bucket[bid],
+            "out_rows": (
+                out_by_bucket[bid]["row_count"] if bid in out_by_bucket else 0
+            ),
+            "n_success": (
+                out_by_bucket[bid]["n_success"] if bid in out_by_bucket else 0
+            ),
             "status": "complete",
             "committed_at": now,
         }
-        for m in metrics
+        for bid in todo_ids
     ]
     state_schema = (
         f"{BUCKET_COL} int, input_fp bigint, row_count bigint, "
-        "n_success bigint, status string, committed_at double"
+        "out_rows bigint, n_success bigint, status string, committed_at double"
     )
     spark.createDataFrame(state_rows, schema=state_schema).write.mode(
         "append"

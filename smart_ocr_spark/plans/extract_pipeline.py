@@ -19,7 +19,7 @@ parse stage never recomputes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from smart_ocr_spark.operators import extract as ops
@@ -75,25 +75,38 @@ def run_extraction(
     # cache stays small no matter the corpus size.
     df = ops.fused_first_pass(src)
     df = df.withColumn("difficulty", ops.difficulty_col())
+    # repair_exhausted marks rows whose variant chain is spent: the
+    # router returned no untried variant, so further rounds would
+    # join+Arrow-scan them for a guaranteed no-op.
+    df = df.withColumn("repair_exhausted", F.lit(False))
 
     # The parse stage is the expensive one; materialize before looping.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    retriable = ops.needs_repair_col() & ~F.col("repair_exhausted")
     for _ in range(max_retries):
-        # Selective repair (O5): only rows still failing go through the
-        # Python kernel; the passing majority is a cache-backed filter.
-        # Payloads for the failed few come from a join back to the
-        # source table (broadcast of the small failed key set).
-        failed = df.filter(ops.needs_repair_col())
+        # Selective repair (O5): only rows still failing AND with an
+        # untried variant go through the Python kernel; the passing
+        # majority is a cache-backed filter.
+        failed = df.filter(retriable)
         if failed.limit(1).count() == 0:
             break
-        failed_with_payload = failed.join(
-            documents.select("url", "html"), "url", "left"
+        # Payload pushdown: semi-join the source table down to the failed
+        # keys FIRST (broadcast of the small key set — the big table is
+        # never shuffled), then broadcast the resulting small payload
+        # frame into the inner join.  Putting `documents` on the right of
+        # a plain left join would shuffle the whole corpus (payload
+        # bytes!) by url to repair a fraction of a percent of rows.
+        payloads = documents.select("url", "html").join(
+            F.broadcast(failed.select("url")), "url", "left_semi"
         )
-        repaired = ops.fused_repair_round(failed_with_payload).persist(
+        failed_with_payload = failed.join(F.broadcast(payloads), "url", "inner")
+        repaired = ops.fused_repair_round(failed_with_payload)
+        new_df = df.filter(~retriable).unionByName(repaired).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        repaired.count()  # materialize the (small) repaired subset
-        df = df.filter(~ops.needs_repair_col()).unionByName(repaired)
+        new_df.count()  # materialize before dropping the parent
+        df.unpersist()
+        df = new_df
 
     df = ops.with_selection(df)
     return df.select(*RESULT_COLUMNS)

@@ -72,10 +72,18 @@ def build_session(
     builder = SparkSession.builder.appName(app_name)
     # Respect a master set by spark-submit (--master yarn/k8s/...):
     # unconditionally calling .master() here would silently turn a
-    # cluster submission into a local run.
+    # cluster submission into a local run.  SparkConf() alone cannot
+    # detect this in a fresh driver — before the JVM gateway is up it is
+    # an empty Python-side dict and never sees spark-submit's --master
+    # system property — so also check the env markers PythonRunner
+    # exports when spark-submit launches the Python driver.
+    spark_submit_driver = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "PYSPARK_GATEWAY_SECRET" in os.environ
+    )
     if master is not None:
         builder = builder.master(master)
-    elif not SparkConf().contains("spark.master"):
+    elif not spark_submit_driver and not SparkConf().contains("spark.master"):
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.config("spark.sql.adaptive.enabled", "true")
