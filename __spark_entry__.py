@@ -902,6 +902,221 @@ FROM sig
 """
 
 
+def _minhash_lsh_pairs_oracle() -> str:
+    """LSH band buckets -> candidate pairs -> exact Jaccard verification
+    at threshold 0.8: mirrors ``dedup.minhash_dedup_pairs`` end-to-end
+    (the md5 hash family was chosen so every stage is SQL-identical)."""
+    sigs = ",\n    ".join(
+        f"min(md5(concat('{s}:', shingle))) AS sig_{s}" for s in range(8)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id,
+         concat('0:', md5(concat(sig_0, sig_1, sig_2, sig_3))) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id,
+         concat('1:', md5(concat(sig_4, sig_5, sig_6, sig_7))) AS bucket
+  FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+  round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) AS jaccard
+FROM cands c
+JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN cnt ca ON ca.doc_id = c.doc_a
+JOIN cnt cb ON cb.doc_id = c.doc_b
+WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
+"""
+
+
+# 64-bit SimHash + pigeonhole chunk blocking in pure SQL.  The pinned
+# big-endian first-8-bytes-of-md5 convention is '0x'||substr(md5(x),1,16)
+# cast to UBIGINT; the unsigned accumulator lives in HUGEINT and drops to
+# two's-complement BIGINT to match Spark's LongType simhash64.
+_SIMHASH64_PAIRS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS w FROM tok GROUP BY doc_id, tok),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, w
+       FROM tf),
+bits AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+  GROUP BY doc_id, i),
+uv AS (
+  SELECT doc_id,
+    sum(CASE WHEN s >= 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id),
+-- token-less docs: every bit accumulator is 0 (>= 0), so all 64 bits set
+uvfull AS (
+  SELECT d.doc_id, coalesce(uv.v, 18446744073709551615::HUGEINT) AS v
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN uv ON uv.doc_id = d.doc_id),
+sh AS (
+  SELECT doc_id,
+    CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+              THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+      AS simhash64,
+    v
+  FROM uvfull),
+chunks AS (
+  SELECT doc_id, simhash64, c, (v >> (c * 16)) & 65535::HUGEINT AS chunk
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash64 AS ha, b.simhash64 AS hb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+"""
+
+
+# Random-hyperplane LSH ANN in pure SQL: the plane weights are the same
+# md5-derived +/-1 signs the Spark kernel uses (sign = low bit of byte
+# j of md5('t:p:d0'), i.e. the parity of hex char j*2+2), so bucket
+# codes match bit-for-bit; cosine re-rank within shared buckets.
+_ANN_LSH_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e),
+el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS d
+       FROM e),
+planes AS (
+  SELECT t, p, d,
+    CASE WHEN substr(md5(t || ':' || p || ':' || ((d // 16) * 16)),
+                     (d % 16) * 2 + 2, 1)
+              IN ('1','3','5','7','9','b','d','f')
+         THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(generate_series(0, 1)) AS t),
+       (SELECT unnest(generate_series(0, 7)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS d)),
+dots AS (
+  SELECT el.vec_id, pl.t, pl.p, sum(el.val * pl.w) AS dot
+  FROM el JOIN planes pl ON pl.d = el.d
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, t,
+    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS code
+  FROM dots GROUP BY vec_id, t),
+buckets AS (
+  SELECT n.vec_id, n.v, n.nrm, c.t || ':' || c.code AS bucket
+  FROM codes c JOIN n ON n.vec_id = c.vec_id),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cos
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+  GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand)
+SELECT query_id, CAST(rank AS INT) AS rank, nbr_id,
+  round(cos, 4) + 0.0 AS cosine
+FROM r WHERE rank <= 5
+"""
+
+
+# IVF ANN in pure SQL: label centroids via the exact floor(x*1e9) BIGINT
+# convention (identical to the embedding_centroids oracle), nearest-cell
+# assignment by cosine (ties -> lowest label), exact re-rank per cell.
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e),
+cent AS (
+  SELECT label, idx,
+    round(CAST(sum(CAST(floor(val * 1e9) AS BIGINT)) AS DOUBLE)
+          / 1e9 / count(*), 4) + 0.0 AS cv
+  FROM (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+        FROM e)
+  GROUP BY label, idx),
+cnorm AS (
+  SELECT label,
+    CASE WHEN sqrt(sum(cv * cv)) = 0 THEN 1.0 ELSE sqrt(sum(cv * cv)) END
+      AS cn
+  FROM cent GROUP BY label),
+el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+       FROM e),
+adot AS (
+  SELECT el.vec_id, c.label, sum(el.val * c.cv) AS dot
+  FROM el JOIN cent c ON c.idx = el.idx
+  GROUP BY 1, 2),
+assign AS (
+  SELECT vec_id, label AS cell FROM (
+    SELECT a.vec_id, a.label,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY a.dot / (n.nrm * cn.cn) DESC, a.label ASC) AS rn
+    FROM adot a
+    JOIN n ON n.vec_id = a.vec_id
+    JOIN cnorm cn ON cn.label = a.label
+    WHERE n.nrm > 0)
+  WHERE rn = 1),
+cellv AS (
+  SELECT a.vec_id, a.cell, n.v, n.nrm
+  FROM assign a JOIN n ON n.vec_id = a.vec_id),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cos
+  FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nbr_id ASC) AS rank FROM cand)
+SELECT query_id, CAST(rank AS INT) AS rank, nbr_id,
+  round(cos, 4) + 0.0 AS cosine
+FROM r WHERE rank <= 5
+"""
+
+
+# Winnowing fingerprint in pure SQL: k=5 char grams over whitespace-
+# stripped lower(text), big-endian md5 first-8-bytes gram hashes, w=4
+# sliding-window min (ROWS BETWEEN), distinct mins XOR-folded (bit_xor)
+# then >> 1 into a 63-bit BIGINT — matching _winnow_one exactly.
+_WINNOW_SQL = """
+WITH s AS (
+  SELECT doc_id,
+    regexp_replace(lower(coalesce(text, '')),
+                   '[ \\t\\n\\x0b\\f\\r]+', '', 'g') AS st
+  FROM documents),
+grams AS (
+  SELECT doc_id, i,
+    ('0x' || substr(md5(substr(st, CAST(i AS INT), 5)), 1, 16))
+      ::UBIGINT::HUGEINT AS g,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM s, unnest(generate_series(1, len(st) - 4)) AS t(i)
+  WHERE len(st) >= 5),
+wins AS (
+  SELECT doc_id, i, n,
+    min(g) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+  FROM grams),
+sel AS (SELECT DISTINCT doc_id, mn FROM wins WHERE i <= greatest(n - 3, 1)),
+folded AS (
+  SELECT doc_id, CAST(bit_xor(mn) >> 1 AS BIGINT) AS winnow_fp
+  FROM sel GROUP BY doc_id),
+short AS (
+  SELECT doc_id,
+    CAST((('0x' || substr(md5(st), 1, 16))::UBIGINT >> 1) AS BIGINT)
+      AS winnow_fp
+  FROM s WHERE len(st) < 5)
+SELECT doc_id, winnow_fp FROM folded
+UNION ALL
+SELECT doc_id, winnow_fp FROM short
+"""
+
+
 def _lang_id_oracle() -> str:
     marker_exprs = []
     from smart_ocr_spark.functions.text_analysis import LANG_MARKERS
@@ -1205,6 +1420,11 @@ FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
 WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
 """,
         "dedup_minhash": _minhash_oracle(),
+        "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_oracle(),
+        "dedup_simhash64_pairs": _SIMHASH64_PAIRS_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "text_winnow_fingerprint": _WINNOW_SQL,
         "dedup_simhash16": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS w FROM tok GROUP BY doc_id, tok),

@@ -296,7 +296,12 @@ def ivf_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "nbr_id", F.round("cos", 4).alias("cosine"))
+        # + 0.0 clears IEEE negative zero: a tiny negative cosine rounds
+        # to -0.0, whose FORMATTED value differs from 0.0 across engines
+        .select(
+            "query_id", "rank", "nbr_id",
+            (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
+        )
     )
 
 
@@ -384,5 +389,9 @@ def lsh_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "nbr_id", F.round("cos", 4).alias("cosine"))
+        # + 0.0 clears IEEE negative zero (cross-engine formatting parity)
+        .select(
+            "query_id", "rank", "nbr_id",
+            (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
+        )
     )

@@ -181,7 +181,11 @@ def _winnow_one(text: str) -> int:
     """Winnowing (Schleimer et al., SIGMOD'03): min hash per sliding
     window of k-gram hashes, XOR-folded to one 63-bit fingerprint.
     Whitespace stripping uses the pinned ASCII class (str.split() is
-    Unicode-aware and would diverge from the tokenizer contract)."""
+    Unicode-aware and would diverge from the tokenizer contract).
+    The fold is a plain XOR of the selected gram hashes — they are
+    md5-derived (already uniform), and plain XOR keeps the whole
+    fingerprint exactly reproducible in SQL (bit_xor aggregate) for
+    the DuckDB correctness oracle."""
     import re
 
     s = re.sub(r"[ \t\n\x0b\f\r]+", "", (text or "").lower())
@@ -198,8 +202,8 @@ def _winnow_one(text: str) -> int:
     for i in range(max(len(grams) - _WINNOW_W + 1, 1)):
         selected.add(min(grams[i : i + _WINNOW_W]))
     fp = 0
-    for g in sorted(selected):
-        fp ^= g * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
+    for g in selected:
+        fp ^= g
     return fp >> 1
 
 
