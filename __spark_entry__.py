@@ -818,6 +818,93 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconcile_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 LaTeX reconciliation, oracle-checked end-to-end: per document
+    build a deterministic (base, source) pair exercising BOTH merge
+    paths of kernel/reconcile.py — even doc_ids have a matching display
+    block replaced (normalized-content / token-Jaccard match), odd
+    doc_ids have no base LaTeX so the source block is positionally
+    inserted after the 'given by:' reference phrase.  The oracle
+    reproduces the expected merged text arithmetically, so any regex,
+    matching, or insertion deviation breaks the hash."""
+    from smart_ocr_spark.operators.reconcile import reconcile_latex
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    even = F.col("doc_id") % 2 == 0
+    base = F.when(
+        even,
+        F.concat(
+            F.col("text"), F.lit("\n\nEq: $$ x + y = "), sid,
+            F.lit(" $$\n\nEnd."),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("The result for doc "), sid,
+            F.lit(" is given by: the following."),
+        )
+    )
+    source = F.when(
+        even, F.concat(F.lit("$$x+y="), sid, F.lit("$$"))
+    ).otherwise(F.concat(F.lit("$$E_"), sid, F.lit(" = m c^2$$")))
+    df = docs.select(
+        "doc_id", base.alias("base_text"), source.alias("source_text")
+    )
+    return reconcile_latex(df).select("doc_id", "merged_text", "n_latex_merged")
+
+
+def q_consensus_discrepancies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 discrepancy detectors, oracle-checked: synthesize a
+    two-attempt matrix per document (word-count spread iff doc_id%3==0,
+    audit divergence iff doc_id%2==1) and run the REAL kernel
+    (kernel/consensus.py find_discrepancies); the oracle reproduces the
+    reference's exact note strings."""
+    import pandas as pd  # noqa: F401
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != F.lit(""),
+    )
+    wc = F.size(toks).cast("int")
+    df = docs.select(
+        "doc_id",
+        wc.alias("wc"),
+        F.when(F.col("doc_id") % 3 == 0, wc * 2).otherwise(wc).alias("wc2"),
+        (F.col("doc_id") % 2 == 0).alias("b_passed"),
+    )
+
+    @F.pandas_udf("array<string>")
+    def discs_udf(wc, wc2, b_passed):
+        import pandas as pd
+
+        from smart_ocr_spark.kernel.consensus import find_discrepancies
+
+        return pd.Series(
+            [
+                find_discrepancies(
+                    [
+                        {"variant": "layout", "word_count": int(a),
+                         "audit_passed": True},
+                        {"variant": "density", "word_count": int(b),
+                         "audit_passed": bool(p)},
+                    ]
+                )
+                for a, b, p in zip(wc, wc2, b_passed)
+            ]
+        )
+
+    return df.select(
+        "doc_id", discs_udf("wc", "wc2", "b_passed").alias("discs")
+    ).select(
+        "doc_id",
+        F.size("discs").cast("int").alias("n_discrepancies"),
+        F.array_join("discs", " || ").alias("discs_concat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
@@ -864,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "reconcile_latex": q_reconcile_latex,
+        "consensus_discrepancies": q_consensus_discrepancies,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1425,6 +1514,34 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "text_winnow_fingerprint": _WINNOW_SQL,
+        "reconcile_latex": """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN
+    replace(text || e'\\n\\nEq: $$ x + y = ' || doc_id || e' $$\\n\\nEnd.',
+            '$$ x + y = ' || doc_id || ' $$',
+            '$$x+y=' || doc_id || '$$')
+  ELSE
+    replace('The result for doc ' || doc_id || ' is given by: the following.',
+            'given by:',
+            e'given by:\\n\\n$$E_' || doc_id || e' = m c^2$$\\n\\n')
+  END AS merged_text,
+  CAST(1 AS INT) AS n_latex_merged
+FROM documents
+""",
+        "consensus_discrepancies": f"""
+WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS wc FROM documents),
+d AS (SELECT doc_id,
+  (CASE WHEN doc_id % 3 = 0 AND wc > 0
+        THEN ['Word count spread: density=' || (wc * 2) || ', layout=' || wc]
+        ELSE [] END)
+  || (CASE WHEN doc_id % 2 = 1
+        THEN ['Audit divergence: passed=[layout], failed=[density]']
+        ELSE [] END) AS discs
+  FROM t)
+SELECT doc_id, CAST(len(discs) AS INT) AS n_discrepancies,
+       coalesce(array_to_string(discs, ' || '), '') AS discs_concat
+FROM d
+""",
         "dedup_simhash16": f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, count(*) AS w FROM tok GROUP BY doc_id, tok),

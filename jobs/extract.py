@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=1024)
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="cap buckets this run (bounded blast radius)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="report pending buckets/rows without processing")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -51,6 +53,7 @@ def main() -> int:
         args.output,
         n_buckets=args.buckets,
         max_buckets_this_run=args.max_buckets,
+        dry_run=args.dry_run,
     )
     print(json.dumps(stats))
     spark.stop()

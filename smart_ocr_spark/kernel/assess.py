@@ -46,6 +46,34 @@ _SOURCE_GARBAGE_RE = re.compile(
 )
 
 
+# Columnar-numbers table heuristic (reference born_digital.py:428-447)
+COLUMNAR_MIN_SINGLE_TOKEN_LINES = 15
+COLUMNAR_SINGLE_TOKEN_FRAC = 0.50
+
+
+def detect_columnar_numbers(text: str) -> bool:
+    """Borderless-table detector via single-token line ratio (reference
+    born_digital.py:428-447, P10).
+
+    A whitespace-aligned table with no drawn borders extracts as one
+    cell per line — a single token each.  Prose never does this: a
+    justified paragraph produces multi-word lines.  Tabular iff >50% of
+    non-empty lines are single-token AND there are at least 15 such
+    lines (the floor avoids false positives on short pages with headers
+    or bullet lists).
+    """
+    if not text:
+        return False
+    nonempty = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not nonempty:
+        return False
+    single_token = sum(1 for ln in nonempty if len(ln.split()) == 1)
+    return (
+        single_token >= COLUMNAR_MIN_SINGLE_TOKEN_LINES
+        and single_token / len(nonempty) > COLUMNAR_SINGLE_TOKEN_FRAC
+    )
+
+
 def source_garbage_ratio(text: str) -> float:
     """Source-side garbage ratio (reference born_digital.py:668-693):
     control chars (minus \\t\\n\\r), U+FFFD, PUA, surrogates."""

@@ -95,6 +95,15 @@ def extract_payload_full(payload: bytes) -> dict:
     except Exception as exc:  # malformed payloads must not kill the task
         out["parse_ok"] = False
         out["parse_error"] = f"{type(exc).__name__}: {exc}"
+    if out["parse_ok"] and not out["has_tables"]:
+        # P10 columnar-numbers fallback (reference born_digital.py:415-447:
+        # find_tables() OR the single-token-line heuristic): borderless
+        # whitespace-aligned tables have no structural markers, so a
+        # text-side detector is the only thing that routes them HARD.
+        from smart_ocr_spark.kernel.assess import detect_columnar_numbers
+
+        if detect_columnar_numbers(out["basic_text"]):
+            out["has_tables"] = True
     return out
 
 

@@ -217,3 +217,13 @@ def strip_phantom_images_series(texts):
     import pandas as pd
 
     return pd.Series([strip_phantom_images(t or "") for t in texts], index=texts.index)
+
+
+def sanitize_filename(name: str) -> str:
+    """Filesystem-safe name (reference engines/base.py:30-32, N13):
+    alnum, dot, underscore, dash and space survive; everything else
+    becomes '_'; the result is stripped.  Used when a sink keys output
+    paths by url/doc name instead of a parquet partition value."""
+    return "".join(
+        c if c.isalnum() or c in "._- " else "_" for c in name
+    ).strip()

@@ -26,6 +26,11 @@ from smart_ocr_spark.kernel import audit
 # primary + enabled, deduped in order: repair.py:183-208).
 DEFAULT_CHAIN = ["layout", "density", "basic", "layout_alt", "raw"]
 
+# Same-variant retries on TRUNCATED before falling to the capable tier
+# (reference orchestrator.py:928-998 retry-on-truncation; the count is
+# config.truncation_retries, core/config.py:108).
+TRUNCATION_RETRIES = 1
+
 FAMILIES = {
     "layout": "struct",
     "density": "struct",
@@ -65,13 +70,29 @@ def select_repair_variant(
     failure_mode: str,
     tried: set[str],
     chain: list[str] | None = None,
+    last_variant: str | None = None,
+    last_variant_runs: int = 1,
+    truncation_retries: int = TRUNCATION_RETRIES,
 ) -> str | None:
     """Policy table (reference repair.py:109-136):
 
     hallucination -> different family; refusal -> cloud tier;
     garbage / low_word_count / truncated -> capable tier;
     timeout -> light tier; otherwise first untried.  None when exhausted.
+
+    TRUNCATED first retries the SAME variant up to ``truncation_retries``
+    times before the capable-tier fallback (reference
+    orchestrator.py:928-998: truncation is treated as transient, so the
+    engine that truncated gets another shot).  ``last_variant_runs``
+    counts how many times ``last_variant`` has run so far — retries are
+    spent when it exceeds the original run + the retry budget.
     """
+    if (
+        failure_mode == audit.TRUNCATED
+        and last_variant is not None
+        and last_variant_runs <= truncation_retries
+    ):
+        return last_variant
     cands = candidates(tried, chain)
     if not cands:
         return None

@@ -102,6 +102,7 @@ SELECT_SCHEMA = StructType(
         StructField("selected_idx", IntegerType()),
         StructField("selection_rule", StringType()),
         StructField("agreement", DoubleType()),
+        StructField("discrepancies", ArrayType(StringType())),
     ]
 )
 
@@ -215,7 +216,20 @@ def first_pass(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-def fused_first_pass(df: DataFrame) -> DataFrame:
+FIGURE_SCHEMA = StructType(
+    [
+        StructField("figure_num", IntegerType()),
+        StructField("page_num", IntegerType()),
+        StructField("figure_type", StringType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+    ]
+)
+
+
+def fused_first_pass(df: DataFrame, with_figures: bool = False) -> DataFrame:
     """Phases 1-2b in ONE Arrow pass: parse + assessment + audited
     primary attempt + conditional enhancement attempt.
 
@@ -233,6 +247,11 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
     re-extract.  basic_text/layout_text are also dropped — layout is
     attempts[0].text and basic is consumed by the in-pass assessment, so
     carrying them would store every document's text three times.
+
+    ``with_figures`` adds a ``figures`` ARRAY<STRUCT> column (§2.13
+    metadata rows) computed in the SAME pass — the payload is already in
+    hand, so inline figure extraction costs one kernel call, not a
+    second scan of the payload table.
     """
     schema = StructType(
         [
@@ -245,6 +264,8 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
             StructField("native_text", StringType()),
             StructField("attempts", ArrayType(ATTEMPT_SCHEMA)),
         ]
+        + ([StructField("figures", ArrayType(FIGURE_SCHEMA))]
+           if with_figures else [])
     )
     col_names = [f.name for f in schema.fields]
 
@@ -253,7 +274,9 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
         from smart_ocr_spark.kernel.extract import (
             extract_payload_full,
             extract_payload_variant,
+            sniff_pdf,
         )
+        from smart_ocr_spark.kernel.figures import doc_figures
 
         for pdf in batches:
             out = []
@@ -290,38 +313,49 @@ def fused_first_pass(df: DataFrame) -> DataFrame:
                             **_audit_row(enh, r["n_pages"]),
                         )
                     )
-                out.append(
-                    (
-                        url,
-                        str(ts),
-                        lang,
-                        len(b),
-                        r["is_pdf"],
-                        r["parse_ok"],
-                        r["parse_error"],
-                        r["n_blocks"],
-                        r["n_tables"],
-                        r["n_headings"],
-                        r["n_lists"],
-                        r["total_chars"],
-                        r["link_density"],
-                        r["has_tables"],
-                        r["has_equations"],
-                        r["has_figures"],
-                        r["n_images"],
-                        r["n_pages"],
-                        r["font_count"],
-                        r["column_count"],
-                        a["is_born_digital"],
-                        a["confidence"],
-                        a["char_count"],
-                        a["word_count"],
-                        a["needs_ocr_enhancement"],
-                        a["notes"],
-                        native,
-                        attempts,
-                    )
+                row = (
+                    url,
+                    str(ts),
+                    lang,
+                    len(b),
+                    r["is_pdf"],
+                    r["parse_ok"],
+                    r["parse_error"],
+                    r["n_blocks"],
+                    r["n_tables"],
+                    r["n_headings"],
+                    r["n_lists"],
+                    r["total_chars"],
+                    r["link_density"],
+                    r["has_tables"],
+                    r["has_equations"],
+                    r["has_figures"],
+                    r["n_images"],
+                    r["n_pages"],
+                    r["font_count"],
+                    r["column_count"],
+                    a["is_born_digital"],
+                    a["confidence"],
+                    a["char_count"],
+                    a["word_count"],
+                    a["needs_ocr_enhancement"],
+                    a["notes"],
+                    native,
+                    attempts,
                 )
+                if with_figures:
+                    figs = (
+                        [
+                            (f["figure_num"], f["page_num"],
+                             f["figure_type"], f["x0"], f["y0"],
+                             f["x1"], f["y1"])
+                            for f in doc_figures(b)
+                        ]
+                        if sniff_pdf(b)
+                        else []
+                    )
+                    row = row + (figs,)
+                out.append(row)
             yield pd.DataFrame(out, columns=col_names)
 
     return df.mapInPandas(run, schema=schema)
@@ -513,7 +547,7 @@ def needs_repair_col() -> Column:
     return ~any_passing & ~bd_covered & has_content & F.col("parse_ok")
 
 
-def repair_round(df: DataFrame) -> DataFrame:
+def repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFrame:
     """One repair iteration (reference repair loop, orchestrator.py:897-1110):
     failed docs pick the next variant via the routing policy and re-extract;
     passing/exhausted docs carry a null route and skip the kernel — one
@@ -532,7 +566,14 @@ def repair_round(df: DataFrame) -> DataFrame:
             failures = [a["primary_failure"] for a in atts]
             tried = {a["variant"] for a in atts}
             dominant = repair_kernel.dominant_failure(failures)
-            out.append(repair_kernel.select_repair_variant(dominant, tried))
+            last = atts[-1]["variant"] if len(atts) else None
+            runs = sum(1 for a in atts if a["variant"] == last)
+            out.append(
+                repair_kernel.select_repair_variant(
+                    dominant, tried, chain=chain,
+                    last_variant=last, last_variant_runs=runs,
+                )
+            )
         return pd.Series(out, dtype=object)
 
     df = df.withColumn(
@@ -541,7 +582,7 @@ def repair_round(df: DataFrame) -> DataFrame:
     return _apply_variant_attempt(df, variant_expr=F.col("_routed")).drop("_routed")
 
 
-def fused_repair_round(df: DataFrame) -> DataFrame:
+def fused_repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFrame:
     """``repair_round`` as ONE Arrow pass (route + re-extract + audit
     fused; the chained-UDF formulation is three sequential
     ArrowEvalPython nodes).  Input must carry the payload column
@@ -577,8 +618,15 @@ def fused_repair_round(df: DataFrame) -> DataFrame:
                 dominant = repair_kernel.dominant_failure(
                     [a["primary_failure"] for a in atts]
                 )
+                last = atts[-1]["variant"] if atts else None
                 variant = repair_kernel.select_repair_variant(
-                    dominant, {a["variant"] for a in atts}
+                    dominant,
+                    {a["variant"] for a in atts},
+                    chain=chain,
+                    last_variant=last,
+                    last_variant_runs=sum(
+                        1 for a in atts if a["variant"] == last
+                    ),
                 )
                 if variant is None:
                     if "repair_exhausted" in row:
@@ -659,6 +707,10 @@ def with_selection(df: DataFrame) -> DataFrame:
       3. else consensus winner among attempts (grounded against native
          when present, ungrounded otherwise; ties -> lowest attempt_idx),
       4. else empty.
+
+    Every multi-attempt row also reports WHY the attempts disagree
+    (``discrepancies``: word-count spread + audit divergence, the
+    reference's consensus.py:225-253 detectors — A8/A9).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -666,12 +718,14 @@ def with_selection(df: DataFrame) -> DataFrame:
     def select_udf(
         attempts: pd.Series, native_text: pd.Series, is_bd: pd.Series
     ) -> pd.DataFrame:
+        from smart_ocr_spark.kernel import consensus as consensus_kernel
         from smart_ocr_spark.kernel import score as score_kernel
 
         rows = []
         for atts, native, bd in zip(attempts, native_text, is_bd):
             atts = list(atts)
             native = native or ""
+            discrepancies = consensus_kernel.find_discrepancies(atts)
             # word-capped agreement: the pairwise word-DP is O(m*n) and
             # informational only — bound it so giant docs can't dominate
             # the selection pass (cap documented, not silent)
@@ -687,11 +741,14 @@ def with_selection(df: DataFrame) -> DataFrame:
                 best = min(passing, key=lambda a: a["attempt_idx"])
                 rows.append(
                     (best["text"], best["variant"], best["attempt_idx"],
-                     "first_passing", agreement)
+                     "first_passing", agreement, discrepancies)
                 )
                 continue
             if bd and native:
-                rows.append((native, "native", -1, "native_text", agreement))
+                rows.append(
+                    (native, "native", -1, "native_text", agreement,
+                     discrepancies)
+                )
                 continue
             if atts:
                 scored = [
@@ -717,10 +774,10 @@ def with_selection(df: DataFrame) -> DataFrame:
                 best = scored[0][2]
                 rows.append(
                     (best["text"] or "", best["variant"], best["attempt_idx"],
-                     "consensus", agreement)
+                     "consensus", agreement, discrepancies)
                 )
                 continue
-            rows.append(("", "", -1, "empty", 1.0))
+            rows.append(("", "", -1, "empty", 1.0, discrepancies))
         return pd.DataFrame(
             rows, columns=[f.name for f in SELECT_SCHEMA.fields]
         )

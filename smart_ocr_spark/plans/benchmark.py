@@ -116,6 +116,40 @@ def calibration_profiles(scores: DataFrame) -> DataFrame:
     return prof.withColumn("wer_rank", F.row_number().over(w))
 
 
+def recommended_chains(calibration: DataFrame) -> dict[str, list[str]]:
+    """O11: per-category recommended fallback chains from calibration
+    profiles (reference ``calibrate.py:295-320`` `_rank_engines_for_
+    category`): variants with data for the category rank by that
+    category's WER; variants without data go last, ranked by their
+    average WER across all categories.  The calibration frame is tiny
+    (variants x categories), so this is a driver-side fold; the result
+    feeds ``run_extraction(chain=...)``."""
+    from smart_ocr_spark.kernel.repair import DEFAULT_CHAIN
+
+    rows = calibration.select("variant", "category", "avg_wer").collect()
+    by_cat: dict[str, list[tuple[float, str]]] = {}
+    wers_by_variant: dict[str, list[float]] = {}
+    for r in rows:
+        by_cat.setdefault(r["category"], []).append(
+            (float(r["avg_wer"]), r["variant"])
+        )
+        wers_by_variant.setdefault(r["variant"], []).append(float(r["avg_wer"]))
+    overall = {
+        v: (sum(ws) / len(ws) if ws else 1.0)
+        for v, ws in wers_by_variant.items()
+    }
+    all_variants = set(DEFAULT_CHAIN) | set(overall)
+    chains: dict[str, list[str]] = {}
+    for cat, with_data in by_cat.items():
+        with_data.sort()
+        have = {v for _, v in with_data}
+        without = sorted(
+            (overall.get(v, 1.0), v) for v in all_variants - have
+        )
+        chains[cat] = [v for _, v in with_data] + [v for _, v in without]
+    return chains
+
+
 def save_results(results: dict[str, DataFrame], out_dir: str) -> None:
     """JSON round-trip sinks (reference results.json / calibration.json,
     ``benchmark/runner.py:60-114``, ``calibrate.py:39-72``): one JSON

@@ -115,6 +115,7 @@ def run_with_checkpoint(
     out_dir: str,
     n_buckets: int = 32,
     max_buckets_this_run: int | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Extract every not-yet-committed bucket; commit results + lineage
     per run. Returns run metrics.
@@ -122,6 +123,10 @@ def run_with_checkpoint(
     ``max_buckets_this_run`` caps how many buckets this invocation
     processes (used by the kill-and-resume test to simulate a partial
     run; operationally it bounds a run's blast radius).
+
+    ``dry_run`` reports what WOULD be processed — pending buckets and
+    their input row counts — without extracting or writing anything
+    (reference orchestrator.py:171-178, F4).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -149,6 +154,15 @@ def run_with_checkpoint(
         pending_rows = pending_rows[:max_buckets_this_run]
     if not pending_rows:
         return {"processed_buckets": 0, "processed_rows": 0, "skipped": True}
+    if dry_run:
+        return {
+            "processed_buckets": 0,
+            "processed_rows": 0,
+            "skipped": False,
+            "dry_run": True,
+            "would_process_buckets": [int(r[BUCKET_COL]) for r in pending_rows],
+            "would_process_rows": int(sum(r["row_count"] for r in pending_rows)),
+        }
 
     todo_ids = [r[BUCKET_COL] for r in pending_rows]
     fp_by_bucket = {r[BUCKET_COL]: r["input_fp"] for r in pending_rows}

@@ -34,6 +34,7 @@ RESULT_COLUMNS = [
     "selected_idx",
     "selection_rule",
     "agreement",
+    "discrepancies",
     "attempts",
     "is_born_digital",
     "bd_confidence",
@@ -58,11 +59,21 @@ def run_extraction(
     documents: DataFrame,
     max_retries: int = MAX_RETRIES_DEFAULT,
     repartition: bool = True,
+    chain: list[str] | None = None,
+    with_figures: bool = False,
 ) -> DataFrame:
     """documents(url, warc_ts, html, lang[, text]) -> results frame.
 
     Returns one row per url with ``final_text`` (the byte-identical
     contract column), attempts lineage, and routing metadata.
+
+    ``chain`` overrides the repair router's fallback chain — typically a
+    per-category recommendation from calibration profiles
+    (``plans.benchmark.recommended_chains``, the reference's
+    calibrate-driven config rewrite, calibrate.py:295-320).
+
+    ``with_figures`` emits a ``figures`` ARRAY<STRUCT> column from the
+    same parse pass — figure metadata without a second payload scan.
     """
     src = documents.select("url", "warc_ts", "html", "lang")
     if repartition:
@@ -73,7 +84,7 @@ def run_extraction(
     # JVM-side column expression.  The payload is NOT carried forward —
     # the persisted working set is metadata + attempt texts only, so the
     # cache stays small no matter the corpus size.
-    df = ops.fused_first_pass(src)
+    df = ops.fused_first_pass(src, with_figures=with_figures)
     df = df.withColumn("difficulty", ops.difficulty_col())
     # repair_exhausted marks rows whose variant chain is spent: the
     # router returned no untried variant, so further rounds would
@@ -100,7 +111,7 @@ def run_extraction(
             F.broadcast(failed.select("url")), "url", "left_semi"
         )
         failed_with_payload = failed.join(F.broadcast(payloads), "url", "inner")
-        repaired = ops.fused_repair_round(failed_with_payload)
+        repaired = ops.fused_repair_round(failed_with_payload, chain=chain)
         new_df = df.filter(~retriable).unionByName(repaired).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -109,7 +120,8 @@ def run_extraction(
         df = new_df
 
     df = ops.with_selection(df)
-    return df.select(*RESULT_COLUMNS)
+    out_cols = RESULT_COLUMNS + (["figures"] if with_figures else [])
+    return df.select(*out_cols)
 
 
 def results_for_write(df: DataFrame) -> DataFrame:

