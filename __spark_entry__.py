@@ -1514,6 +1514,66 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "text_winnow_fingerprint": _WINNOW_SQL,
+        # The 5-phase pipeline's status ladder replayed in SQL for the
+        # identity-wrapped corpus (layout text == documents.text):
+        #   success        = audit passes on the text (first_passing)
+        #   success_native = audit fails but the born-digital cascade
+        #                    accepts the text layer
+        #   partial        = neither, non-empty final text
+        # Audit conditions mirror the audit_battery oracle; born-digital
+        # conditions mirror kernel/assess.py:80-155 (char/word floors,
+        # CID, source-garbage, space ratio, avg word length band).
+        "extract_pipeline_report": f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents),
+m AS (SELECT doc_id, lang, text,
+    CAST(len(toks) AS BIGINT) AS word_count,
+    length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS nonspace,
+    length(text) AS char_count
+  FROM t),
+s AS (SELECT doc_id, lang, text, word_count, char_count,
+    round(CASE WHEN word_count > 0
+          THEN nonspace / CAST(word_count AS DOUBLE) ELSE 0.0 END, 4) AS awl,
+    round(CASE WHEN char_count > 0 THEN
+      CAST(length(regexp_replace(text,
+        '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,;:!?''"()-]', '', 'g'))
+        AS DOUBLE) / char_count ELSE 1.0 END, 4) AS garbage_ratio,
+    regexp_matches(lower(text), 'i cannot|i can''t|unable to process|as an ai')
+      AS refusal_hit,
+    regexp_matches(text, '\\(cid:[0-9]+\\)') AS cid_hit,
+    CASE WHEN char_count > 0 THEN
+      CAST(char_count - length(replace(text, ' ', '')) AS DOUBLE) / char_count
+      ELSE 0.0 END AS space_ratio,
+    CASE WHEN char_count > 0 THEN
+      CAST(len(regexp_extract_all(text,
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]|\\x{{fffd}}|[\\x{{e000}}-\\x{{f8ff}}]'))
+        AS DOUBLE) / char_count ELSE 0.0 END AS src_garbage
+  FROM m),
+cls AS (SELECT s.doc_id, s.lang,
+    (s.word_count >= 50 AND s.awl >= 2.0 AND s.awl <= 15.0
+     AND s.garbage_ratio <= 0.15 AND NOT s.refusal_hit) AS audit_passed,
+    (s.char_count >= 50 AND s.word_count >= 15 AND NOT s.cid_hit
+     AND s.src_garbage <= 0.05 AND s.space_ratio <= 0.6
+     AND m.nonspace / CAST(greatest(s.word_count, 1) AS DOUBLE) >= 2.5
+     AND m.nonspace / CAST(greatest(s.word_count, 1) AS DOUBLE) <= 20.0)
+      AS born_digital,
+    s.char_count
+  FROM s JOIN m ON m.doc_id = s.doc_id),
+st AS (SELECT doc_id, lang, audit_passed,
+    CASE WHEN audit_passed THEN 'success'
+         WHEN born_digital THEN 'success_native'
+         WHEN char_count > 0 THEN 'partial'
+         ELSE 'empty' END AS status,
+    CASE WHEN audit_passed THEN 'layout'
+         WHEN born_digital THEN 'native'
+         ELSE 'layout' END AS selected_variant
+  FROM cls)
+SELECT lang, status, selected_variant,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN audit_passed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_audit_pass
+FROM st GROUP BY lang, status, selected_variant
+ORDER BY lang, status, selected_variant
+""",
         "reconcile_latex": """
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN

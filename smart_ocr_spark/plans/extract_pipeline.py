@@ -54,6 +54,23 @@ RESULT_COLUMNS = [
 MAX_RETRIES_DEFAULT = 2  # reference core/config.py:107
 
 
+def join_payloads_for_repair(
+    documents: DataFrame, failed: DataFrame
+) -> DataFrame:
+    """Attach payload bytes to the (small) failed set without ever
+    shuffling the corpus: a broadcast LEFT SEMI prunes ``documents`` to
+    the failed urls map-side, then the pruned payload frame broadcasts
+    into the inner join.  The naive ``failed.join(documents, "url",
+    "left")`` formulation shuffles every payload byte in the corpus by
+    url to repair a fraction of a percent of rows — at 100 TB that is a
+    corpus-sized shuffle per repair round.  Pinned by a plan assertion
+    in tests/test_plans.py."""
+    payloads = documents.select("url", "html").join(
+        F.broadcast(failed.select("url")), "url", "left_semi"
+    )
+    return failed.join(F.broadcast(payloads), "url", "inner")
+
+
 def run_extraction(
     spark: SparkSession,
     documents: DataFrame,
@@ -101,16 +118,7 @@ def run_extraction(
         failed = df.filter(retriable)
         if failed.limit(1).count() == 0:
             break
-        # Payload pushdown: semi-join the source table down to the failed
-        # keys FIRST (broadcast of the small key set — the big table is
-        # never shuffled), then broadcast the resulting small payload
-        # frame into the inner join.  Putting `documents` on the right of
-        # a plain left join would shuffle the whole corpus (payload
-        # bytes!) by url to repair a fraction of a percent of rows.
-        payloads = documents.select("url", "html").join(
-            F.broadcast(failed.select("url")), "url", "left_semi"
-        )
-        failed_with_payload = failed.join(F.broadcast(payloads), "url", "inner")
+        failed_with_payload = join_payloads_for_repair(documents, failed)
         repaired = ops.fused_repair_round(failed_with_payload, chain=chain)
         new_df = df.filter(~retriable).unionByName(repaired).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -79,3 +79,31 @@ def test_extraction_plan_has_no_payload_shuffle(spark):
 def test_window_queries_single_shuffle(spark):
     plan = plan_of(em.q_argmax_consensus(spark, SF), "simple")
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_repair_join_never_shuffles_corpus(spark):
+    """The repair-round payload join must prune the corpus with a
+    broadcast semi-join and broadcast the pruned payloads: the corpus
+    scan side must reach its join without ANY Exchange (a shuffle of
+    payload bytes to repair a handful of rows is the round-1 review's
+    #1 scale-killer)."""
+    from pyspark.sql import functions as F
+
+    from smart_ocr_spark.plans.extract_pipeline import (
+        join_payloads_for_repair,
+    )
+
+    documents = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("lang"),
+    )
+    failed = documents.select("url", "lang").limit(5)
+    joined = join_payloads_for_repair(documents, failed)
+    plan = plan_of(joined, "simple")
+    # both joins resolve to broadcast strategies...
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # ...and no hash-partitioning Exchange on url anywhere: the corpus
+    # is pruned map-side, never redistributed
+    assert "Exchange hashpartitioning(url" not in plan, plan
