@@ -525,7 +525,8 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship(spark)
     return ta.with_token_stats(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "token_count", "char_count", "avg_token_len"
+        "doc_id", "token_count", "bpe_token_count", "char_count",
+        "avg_token_len"
     )
 
 
@@ -961,6 +962,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer regex, SQL-quoted (shared with
+# functions/text_analysis.py:BPE_TOKEN_RE — imported so the two sides
+# cannot drift)
+from smart_ocr_spark.functions.text_analysis import BPE_TOKEN_RE as _BPE_RE
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
 
 _TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text),"
@@ -1447,6 +1455,8 @@ FROM b
 WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS token_count,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+    AS bpe_token_count,
   CAST(length(text) AS BIGINT) AS char_count,
   round(CASE WHEN len(toks) > 0 THEN
     CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))

@@ -51,11 +51,38 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs.  Every construct here (\p{L}, \p{N},
+# alternation, explicit whitespace class) behaves identically in Java
+# regex (Spark) and RE2 (DuckDB) — \s itself is NOT pinned (Java
+# includes \x0B, RE2 does not), hence the explicit class.
+BPE_TOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "|\\p{L}+"
+    "|\\p{N}+"
+    "|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
+)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Subword-ish token count (the cheap pre-pass a training pipeline
+    uses to budget tokenizer costs before running a real BPE): count of
+    GPT-2-style pre-token matches.  JVM-side regexp_extract_all — no
+    Python, whole-stage codegen."""
+    # idx=0 -> whole-match extraction (Spark defaults to group 1;
+    # DuckDB's regexp_extract_all defaults to group 0)
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))
+    ).cast("bigint")
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """token_count / char_count / avg_token_len columns (pure codegen)."""
+    """token_count / bpe_token_count / char_count / avg_token_len
+    columns (pure codegen)."""
     toks = tokens_col(F.col(text_col))
     return (
         df.withColumn("token_count", F.size(toks).cast("bigint"))
+        .withColumn("bpe_token_count", bpe_token_count_col(F.col(text_col)))
         .withColumn("char_count", F.length(F.col(text_col)).cast("bigint"))
         .withColumn(
             "avg_token_len",

@@ -269,3 +269,36 @@ class TestInlineFigures:
 
         docs = corpus_df(spark, 10, seed=4)
         assert "figures" not in run_extraction(spark, docs).columns
+
+
+class TestBpeTokenCount:
+    """GPT-2-style pre-tokenizer count (training-data token budgeting)."""
+
+    def test_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from smart_ocr_spark.functions.text_analysis import with_token_stats
+
+        rows = [
+            (1, "hello world"),            # 2 word tokens
+            (2, "don't stop"),             # don + 't + stop = 3
+            (3, "a1b2"),                   # a 1 b 2 = 4 (letter/digit runs)
+            (4, "wait... what?!"),         # wait + ... + what + ?! = 4
+            (5, "café über"),              # unicode letters: 2
+            (6, ""),                       # 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            r["doc_id"]: r["bpe_token_count"]
+            for r in with_token_stats(df).collect()
+        }
+        assert got == {1: 2, 2: 3, 3: 4, 4: 4, 5: 2, 6: 0}
+
+    def test_whitespace_never_tokenized(self, spark):
+        from smart_ocr_spark.functions.text_analysis import with_token_stats
+
+        df = spark.createDataFrame(
+            [(1, "  \t\n  a  \x0b ")], "doc_id int, text string"
+        )
+        [r] = with_token_stats(df).collect()
+        assert r["bpe_token_count"] == 1
