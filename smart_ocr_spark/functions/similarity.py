@@ -69,17 +69,21 @@ def cosine_topk(
     silently OOMing the driver; use :func:`lsh_topk` (the scale path)
     or :func:`ivf_topk`. Rank ties broken by neighbor id.
     """
-    n_corpus = corpus.count()
-    if n_corpus > max_rows:
-        raise ValueError(
-            f"cosine_topk is the brute-force baseline: corpus has "
-            f"{n_corpus} rows > max_rows={max_rows}; it collects the "
-            "whole corpus to the driver. Use lsh_topk (bucketed, "
-            "scale-safe) or ivf_topk, or raise max_rows explicitly."
-        )
+    # single-pass guard: collect at most max_rows+1 rows — one extra row
+    # proves the overflow without a separate full-corpus count() action
     rows = (
-        with_norm(corpus, vec_col).select(F.col(id_col), "__v", "__norm").collect()
+        with_norm(corpus, vec_col)
+        .select(F.col(id_col), "__v", "__norm")
+        .limit(max_rows + 1)
+        .collect()
     )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"cosine_topk is the brute-force baseline: corpus exceeds "
+            f"max_rows={max_rows}; it collects the whole corpus to the "
+            "driver. Use lsh_topk (bucketed, scale-safe) or ivf_topk, "
+            "or raise max_rows explicitly."
+        )
     nbr_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
     norms = np.array([r["__norm"] for r in rows], dtype=np.float64)
@@ -159,14 +163,20 @@ def cosine_near_dup_pairs(
                 f"exact_max_rows={exact_max_rows}. Use the default "
                 "LSH-gated path or raise exact_max_rows explicitly."
             )
+        n = n.persist()  # self-join consumes both sides
         a, b = n.alias("a"), n.alias("b")
         pairs = a.crossJoin(b)
     else:
+        n = n.persist()  # norm pass feeds one branch per table
         bucketed = None
         for t in range(n_tables):
             udf = make_bucket_udf(dim, n_planes, t)
             part = n.withColumn("bucket", udf(F.col("__v")))
             bucketed = part if bucketed is None else bucketed.unionByName(part)
+        # persist: the self-join consumes the n_tables-branch union on
+        # BOTH sides — unpersisted, the corpus would be re-scanned and
+        # re-hashed 2 x n_tables times (lsh_topk does the same)
+        bucketed = bucketed.persist()
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = a.join(b, "bucket")
     return (

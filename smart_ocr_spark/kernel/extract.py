@@ -70,6 +70,9 @@ def extract_payload_full(payload: bytes) -> dict:
             # One parse; page separator differs per variant.
             layout_text, signals = extract_pdf(payload, "layout")
             page_texts = signals.pop("page_texts")
+            # parsed-document handle for same-payload follow-up passes
+            # (inline figures); never enters the flat signal columns
+            out["_pdf_doc"] = signals.pop("_doc", None)
             out["layout_text"] = finalize_text(layout_text)
             out["basic_text"] = "\n\n".join(page_texts)
             for k, v in signals.items():
@@ -95,11 +98,14 @@ def extract_payload_full(payload: bytes) -> dict:
     except Exception as exc:  # malformed payloads must not kill the task
         out["parse_ok"] = False
         out["parse_error"] = f"{type(exc).__name__}: {exc}"
-    if out["parse_ok"] and not out["has_tables"]:
+    if out["parse_ok"] and out["is_pdf"] and not out["has_tables"]:
         # P10 columnar-numbers fallback (reference born_digital.py:415-447:
         # find_tables() OR the single-token-line heuristic): borderless
-        # whitespace-aligned tables have no structural markers, so a
+        # whitespace-aligned PDF tables have no structural markers, so a
         # text-side detector is the only thing that routes them HARD.
+        # PDF-ONLY, like the reference: an HTML page's basic text can
+        # legitimately be single-token lines (nav menus, tag clouds) and
+        # HTML tables are detected structurally.
         from smart_ocr_spark.kernel.assess import detect_columnar_numbers
 
         if detect_columnar_numbers(out["basic_text"]):

@@ -178,10 +178,15 @@ def passes_filters(
     return AREA_RATIO_MIN <= ratio <= hi
 
 
-def doc_figures(payload: bytes) -> list[dict]:
-    """Whole-document figure metadata rows (PDF payloads only)."""
+def doc_figures(payload: bytes, doc: "PdfDocument | None" = None) -> list[dict]:
+    """Whole-document figure metadata rows (PDF payloads only).
+
+    ``doc`` accepts an already-parsed :class:`PdfDocument` so fused
+    callers that just parsed the same payload don't pay a second
+    xref/Flate/object walk."""
     try:
-        doc = PdfDocument(payload)
+        if doc is None:
+            doc = PdfDocument(payload)
         pages = doc.pages()
     except Exception:
         return []

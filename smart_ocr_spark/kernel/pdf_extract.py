@@ -771,6 +771,10 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
         # lossy string replace on the separator (a page legitimately
         # containing a '---' line must not be corrupted)
         "page_texts": page_texts,
+        # the parsed document, for callers that run further passes over
+        # the same payload (inline figure extraction) — POPPED by
+        # extract_payload_full before the dict reaches any Arrow schema
+        "_doc": doc,
         "n_pages": len(pages),
         "font_count": len(n_fonts),
         "has_equations": math_font,

@@ -85,7 +85,10 @@ def select_repair_variant(
     orchestrator.py:928-998: truncation is treated as transient, so the
     engine that truncated gets another shot).  ``last_variant_runs``
     counts how many times ``last_variant`` has run so far — retries are
-    spent when it exceeds the original run + the retry budget.
+    spent when it exceeds the original run + the retry budget.  The
+    retry only makes sense for NONDETERMINISTIC engines; callers running
+    deterministic in-process kernels pass ``truncation_retries=0`` (a
+    same-variant retry would reproduce byte-identical output).
     """
     if (
         failure_mode == audit.TRUNCATED

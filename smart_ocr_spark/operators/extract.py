@@ -344,14 +344,17 @@ def fused_first_pass(df: DataFrame, with_figures: bool = False) -> DataFrame:
                     attempts,
                 )
                 if with_figures:
+                    # reuse the parse from extract_payload_full — the
+                    # figure pass must not re-walk the PDF object tree
+                    pdoc = r.get("_pdf_doc")
                     figs = (
                         [
                             (f["figure_num"], f["page_num"],
                              f["figure_type"], f["x0"], f["y0"],
                              f["x1"], f["y1"])
-                            for f in doc_figures(b)
+                            for f in doc_figures(b, doc=pdoc)
                         ]
-                        if sniff_pdf(b)
+                        if (pdoc is not None or sniff_pdf(b))
                         else []
                     )
                     row = row + (figs,)
@@ -572,6 +575,11 @@ def repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFrame:
                 repair_kernel.select_repair_variant(
                     dominant, tried, chain=chain,
                     last_variant=last, last_variant_runs=runs,
+                    # in-process kernels are deterministic: a same-variant
+                    # retry reproduces the identical truncated text, so the
+                    # O6 retry budget (meant for nondeterministic engines)
+                    # would burn a repair round on a guaranteed no-op
+                    truncation_retries=0,
                 )
             )
         return pd.Series(out, dtype=object)
@@ -627,6 +635,9 @@ def fused_repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFra
                     last_variant_runs=sum(
                         1 for a in atts if a["variant"] == last
                     ),
+                    # deterministic kernels: same-variant truncation retry
+                    # is a guaranteed-identical no-op (see route_udf note)
+                    truncation_retries=0,
                 )
                 if variant is None:
                     if "repair_exhausted" in row:

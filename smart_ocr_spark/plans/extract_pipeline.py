@@ -54,20 +54,33 @@ RESULT_COLUMNS = [
 MAX_RETRIES_DEFAULT = 2  # reference core/config.py:107
 
 
+# Above this many failed rows the pruned payload frame stops being
+# broadcast (payloads are ~MB-scale; 10k x 1MB already nears Spark's
+# 8GB broadcast ceiling) and the second join falls back to a shuffle of
+# the two O(failures) frames — still never the corpus.
+BROADCAST_REPAIR_MAX_ROWS = 10_000
+
+
 def join_payloads_for_repair(
-    documents: DataFrame, failed: DataFrame
+    documents: DataFrame, failed: DataFrame, n_failed: int | None = None
 ) -> DataFrame:
-    """Attach payload bytes to the (small) failed set without ever
-    shuffling the corpus: a broadcast LEFT SEMI prunes ``documents`` to
-    the failed urls map-side, then the pruned payload frame broadcasts
-    into the inner join.  The naive ``failed.join(documents, "url",
-    "left")`` formulation shuffles every payload byte in the corpus by
-    url to repair a fraction of a percent of rows — at 100 TB that is a
-    corpus-sized shuffle per repair round.  Pinned by a plan assertion
-    in tests/test_plans.py."""
+    """Attach payload bytes to the failed set without ever shuffling the
+    corpus: a broadcast LEFT SEMI prunes ``documents`` to the failed
+    urls map-side, then the pruned payload frame joins ``failed`` —
+    broadcast when the failed set is small, shuffle of the two pruned
+    O(failures) frames otherwise (an unconditional broadcast would abort
+    the job past the 8GB broadcast ceiling on payload-heavy failure
+    storms; the old ``failed.join(documents, "url", "left")`` was worse
+    still: a corpus-sized shuffle of payload bytes per round).  The
+    key-set broadcast in the semi prune holds to tens of millions of
+    urls (bytes-scale ~100B/url); past that the run is no longer a
+    selective repair but a rerun of the corpus, which is the caller's
+    call to make.  Pinned by a plan assertion in tests/test_plans.py."""
     payloads = documents.select("url", "html").join(
         F.broadcast(failed.select("url")), "url", "left_semi"
     )
+    if n_failed is not None and n_failed > BROADCAST_REPAIR_MAX_ROWS:
+        return failed.join(payloads, "url", "inner")
     return failed.join(F.broadcast(payloads), "url", "inner")
 
 
@@ -116,9 +129,14 @@ def run_extraction(
         # untried variant go through the Python kernel; the passing
         # majority is a cache-backed filter.
         failed = df.filter(retriable)
-        if failed.limit(1).count() == 0:
+        # full count, not an emptiness probe: df is cached (metadata-only
+        # rows) and the count doubles as the broadcast-vs-shuffle switch
+        n_failed = failed.count()
+        if n_failed == 0:
             break
-        failed_with_payload = join_payloads_for_repair(documents, failed)
+        failed_with_payload = join_payloads_for_repair(
+            documents, failed, n_failed=n_failed
+        )
         repaired = ops.fused_repair_round(failed_with_payload, chain=chain)
         new_df = df.filter(~retriable).unionByName(repaired).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -127,24 +127,29 @@ class TestColumnarNumbers:
         assert not assess.detect_columnar_numbers("")
         assert not assess.detect_columnar_numbers("\n\n  \n")
 
-    def test_extract_routes_text_table_hard(self):
+    def test_extract_pdf_columnar_table_flagged(self):
+        # a borderless PDF table: 30 single-token cells, one per line
         from smart_ocr_spark.kernel.extract import extract_payload_full
+        from smart_ocr_spark.sources.corpus import build_pdf
 
-        rows = "<br>".join(str(i * 7) for i in range(25))
-        html = f"<html><body><p>{rows}</p></body></html>".encode()
-        r = extract_payload_full(html)
-        assert r["parse_ok"]
-        if not r["has_tables"]:
-            pytest.skip("html kernel renders <br> rows without newlines")
+        lines = [
+            (72.0, 700.0 - 14 * i, str(i * 3.25)) for i in range(30)
+        ]
+        r = extract_payload_full(build_pdf([lines]))
+        assert r["parse_ok"] and r["is_pdf"]
+        assert r["has_tables"], "borderless PDF table must be flagged (P10)"
 
-    def test_extract_plaintext_table_flagged(self):
+    def test_extract_html_single_token_lines_not_flagged(self):
+        # PDF-only heuristic (reference born_digital.py:415-447): an HTML
+        # page of single-token lines (nav menu / tag cloud shape) must
+        # NOT be misclassified as tabular
         from smart_ocr_spark.kernel.extract import extract_payload_full
 
         cells = "\n".join(str(i * 3.25) for i in range(30))
         html = f"<html><body><pre>{cells}</pre></body></html>".encode()
         r = extract_payload_full(html)
-        assert r["parse_ok"]
-        assert r["has_tables"], "borderless text table must be flagged (P10)"
+        assert r["parse_ok"] and not r["is_pdf"]
+        assert not r["has_tables"]
 
 
 class TestSanitize:

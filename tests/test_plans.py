@@ -107,3 +107,28 @@ def test_repair_join_never_shuffles_corpus(spark):
     # ...and no hash-partitioning Exchange on url anywhere: the corpus
     # is pruned map-side, never redistributed
     assert "Exchange hashpartitioning(url" not in plan, plan
+
+
+def test_repair_join_large_failure_fallback(spark):
+    """Past the broadcast cap the second join may shuffle the two PRUNED
+    frames, but the corpus must still be pruned by a broadcast semi join
+    (never shuffled wholesale)."""
+    from pyspark.sql import functions as F
+
+    from smart_ocr_spark.plans.extract_pipeline import (
+        join_payloads_for_repair,
+    )
+
+    documents = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("lang"),
+    )
+    failed = documents.select("url", "lang")
+    joined = join_payloads_for_repair(documents, failed, n_failed=10**9)
+    plan = plan_of(joined, "simple")
+    assert "LeftSemi, BuildRight" in plan, plan
+    # and the payload frame itself must NOT carry a broadcast hint: the
+    # planner may still pick one from size stats, but no Exchange may
+    # repartition the corpus by url
+    assert "Exchange hashpartitioning(url" not in plan, plan
