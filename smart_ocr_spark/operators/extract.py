@@ -796,7 +796,7 @@ def with_selection(df: DataFrame) -> DataFrame:
     df = df.withColumn(
         "sel", select_udf("attempts", "native_text", "is_born_digital")
     ).select("*", "sel.*").drop("sel")
-    return df.withColumn(
+    df = df.withColumn(
         "status",
         F.when(~F.col("parse_ok"), F.lit("failed_parse"))
         .when(F.col("selection_rule") == "first_passing", F.lit("success"))
@@ -804,3 +804,41 @@ def with_selection(df: DataFrame) -> DataFrame:
         .when(F.length("final_text") > 0, F.lit("partial"))
         .otherwise(F.lit("empty")),
     )
+    return with_cost_columns(df)
+
+
+# Per-page cost analogs in micro-USD (exact integers — float dollar sums
+# are order-dependent).  The cloud-tier variants carry the reference's
+# published per-page rates (README.md:62-66: Gemini ~$0.0002/page,
+# Mistral ~$0.001/page); in-process local kernels are free, like the
+# reference's local engines.  `layout` is the Gemini-analog primary,
+# `layout_alt` the different-family cloud escape hatch (Mistral-analog).
+VARIANT_COST_MICROUSD = {
+    "layout": 200,
+    "layout_alt": 1000,
+    "density": 0,
+    "basic": 0,
+    "raw": 0,
+}
+
+
+def with_cost_columns(df: DataFrame) -> DataFrame:
+    """A4: engines-used lineage + cost rollup (reference
+    state.py:164-172 ``total_cost`` / ``engines_used``): ordered unique
+    variant list across attempts, and the summed per-run cost where one
+    attempt = one engine run over ``n_pages`` pages.  Pure column
+    algebra — array_distinct keeps first-occurrence order like the
+    reference's ``dict.fromkeys``."""
+    # one aggregate over the attempts array; unknown variants cost 0
+    per_run = (
+        "aggregate(attempts, 0L, (acc, a) -> acc + "
+        + "CASE a.variant "
+        + " ".join(
+            f"WHEN '{v}' THEN {u}L" for v, u in VARIANT_COST_MICROUSD.items()
+        )
+        + " ELSE 0L END * cast(greatest(n_pages, 1) as bigint))"
+    )
+    return df.withColumn(
+        "engines_used",
+        F.array_distinct(F.transform("attempts", lambda a: a["variant"])),
+    ).withColumn("cost_microusd", F.expr(per_run))

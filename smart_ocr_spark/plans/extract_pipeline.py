@@ -40,6 +40,8 @@ RESULT_COLUMNS = [
     "bd_confidence",
     "needs_ocr_enhancement",
     "difficulty",
+    "engines_used",
+    "cost_microusd",
     "is_pdf",
     "parse_ok",
     "parse_error",

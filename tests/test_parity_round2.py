@@ -307,3 +307,27 @@ class TestBpeTokenCount:
         )
         [r] = with_token_stats(df).collect()
         assert r["bpe_token_count"] == 1
+
+
+class TestCostColumns:
+    """A4 cost/engines-used analog (reference state.py:164-172)."""
+
+    def test_cost_and_engines(self, spark):
+        from smart_ocr_spark.plans.extract_pipeline import run_extraction
+        from smart_ocr_spark.sources.corpus import corpus_df
+
+        docs = corpus_df(spark, 40, seed=21)
+        res = run_extraction(spark, docs).select(
+            "url", "attempts", "engines_used", "cost_microusd", "n_pages"
+        )
+        for r in res.collect():
+            variants = [a["variant"] for a in r["attempts"]]
+            # ordered unique, like dict.fromkeys
+            assert r["engines_used"] == list(dict.fromkeys(variants))
+            unit = {"layout": 200, "layout_alt": 1000}
+            expected = sum(
+                unit.get(v, 0) * max(r["n_pages"], 1) for v in variants
+            )
+            assert r["cost_microusd"] == expected
+            # every doc ran the layout primary at least once
+            assert r["cost_microusd"] >= 200
