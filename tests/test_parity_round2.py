@@ -331,3 +331,127 @@ class TestCostColumns:
             assert r["cost_microusd"] == expected
             # every doc ran the layout primary at least once
             assert r["cost_microusd"] >= 200
+
+
+class TestSelectionConsensus:
+    """Consensus selection behaviors mirroring reference
+    tests/test_consensus.py:340-400 over the Spark with_selection op."""
+
+    @staticmethod
+    def _frame(spark, attempts, native_text="", is_bd=False, parse_ok=True):
+        from smart_ocr_spark.operators.extract import ATTEMPT_SCHEMA
+
+        from pyspark.sql.types import (
+            ArrayType, BooleanType, IntegerType, StringType, StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("url", StringType()),
+                StructField("attempts", ArrayType(ATTEMPT_SCHEMA)),
+                StructField("native_text", StringType()),
+                StructField("is_born_digital", BooleanType()),
+                StructField("parse_ok", BooleanType()),
+                StructField("n_pages", IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [("u1", attempts, native_text, is_bd, parse_ok, 1)], schema
+        )
+
+    @staticmethod
+    def _att(idx, variant, text, passed, wc=None, conf=0.0):
+        return {
+            "attempt_idx": idx, "variant": variant, "text": text,
+            "escalated_from": "",
+            "audit_passed": passed, "primary_failure": "none",
+            "failure_modes": [], "failure_confidence": conf,
+            "word_count": wc if wc is not None else len(text.split()),
+            "avg_word_len": 4.0, "garbage_ratio": 0.0,
+            "has_structure": False,
+        }
+
+    def _select(self, spark, **kw):
+        from smart_ocr_spark.operators.extract import with_selection
+
+        [row] = with_selection(self._frame(spark, **kw)).collect()
+        return row
+
+    def test_audit_passed_wins_over_failed(self, spark):
+        text = "word " * 50
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", text, False),
+            self._att(1, "density", text, True),
+        ])
+        assert r["selected_variant"] == "density"
+        assert r["selection_rule"] == "first_passing"
+        assert r["status"] == "success"
+
+    def test_first_passing_by_attempt_idx(self, spark):
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", "a " * 60, True),
+            self._att(1, "density", "b " * 60, True),
+        ])
+        assert r["selected_variant"] == "layout"
+        assert r["selected_idx"] == 0
+
+    def test_native_text_when_no_attempt_passes(self, spark):
+        r = self._select(
+            spark,
+            attempts=[self._att(0, "layout", "short", False)],
+            native_text="the born digital text layer",
+            is_bd=True,
+        )
+        assert r["selection_rule"] == "native_text"
+        assert r["final_text"] == "the born digital text layer"
+        assert r["status"] == "success_native"
+
+    def test_all_failed_longer_ungrounded_wins(self, spark):
+        # ungrounded score grows with log1p(word_count): the much longer
+        # attempt wins (reference: longer-text preference when all fail)
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", "tiny", False),
+            self._att(1, "density", "a much longer text " * 30, False),
+        ])
+        assert r["selection_rule"] == "consensus"
+        assert r["selected_variant"] == "density"
+        assert r["status"] == "partial"
+
+    def test_all_failed_tie_falls_back_to_first(self, spark):
+        text = "same text " * 20
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", text, False),
+            self._att(1, "density", text, False),
+        ])
+        assert r["selected_idx"] == 0  # tie -> lowest attempt_idx
+
+    def test_agreement_score_between_0_and_1(self, spark):
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", "hello world foo bar", True),
+            self._att(1, "density", "hello world baz qux", True),
+        ])
+        assert 0.0 < r["agreement"] < 1.0
+
+    def test_single_attempt_agreement_is_1(self, spark):
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", "hello world", True),
+        ])
+        assert r["agreement"] == 1.0
+
+    def test_empty_text_filtered_from_agreement(self, spark):
+        # the empty attempt must not drag agreement to 0 (reference
+        # filters empty texts before pairwise agreement)
+        r = self._select(spark, attempts=[
+            self._att(0, "layout", "hello world one two", True),
+            self._att(1, "density", "", False),
+        ])
+        assert r["agreement"] == 1.0
+
+    def test_failed_parse_status(self, spark):
+        r = self._select(
+            spark,
+            attempts=[self._att(0, "layout", "", False)],
+            parse_ok=False,
+        )
+        assert r["status"] == "failed_parse"
