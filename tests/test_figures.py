@@ -68,3 +68,35 @@ def test_multi_page_numbers():
 def test_non_pdf_and_garbage_payloads():
     assert FG.doc_figures(b"<html>x</html>") == []
     assert FG.doc_figures(b"%PDF-1.4 truncated garbage") == []
+
+
+def test_passes_filters_mediabox_origin():
+    """Nonzero MediaBox origin (cropped scans): the margin bands are
+    defined in the page frame, so a figure must be judged after
+    translating its absolute coordinates by the origin."""
+    from smart_ocr_spark.kernel.figures import passes_filters
+
+    page_w, page_h = 612.0, 792.0
+    # a centered 200x200 box in PAGE coordinates
+    page_box = (200.0, 300.0, 400.0, 500.0)
+    assert passes_filters(page_box, page_w, page_h)
+
+    # the same physical box on a page whose MediaBox starts at
+    # (1000, 2000): absolute coords shift, origin passed through
+    shifted = (1200.0, 2300.0, 1400.0, 2500.0)
+    assert passes_filters(shifted, page_w, page_h, origin=(1000.0, 2000.0))
+    # without the origin translation the same box lands far above the
+    # header band and must be rejected — the round-1 bug
+    assert not passes_filters(shifted, page_w, page_h)
+
+
+def test_passes_filters_margin_band_respects_origin():
+    from smart_ocr_spark.kernel.figures import passes_filters
+
+    page_w, page_h = 612.0, 792.0
+    # footer-band box in page frame: y0 below 8% of page height
+    footer = (200.0, 10.0, 400.0, 200.0)
+    assert not passes_filters(footer, page_w, page_h)
+    # same footer box, shifted page: still rejected when origin given
+    shifted = (1200.0, 2010.0, 1400.0, 2200.0)
+    assert not passes_filters(shifted, page_w, page_h, origin=(1000.0, 2000.0))

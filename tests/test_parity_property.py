@@ -67,3 +67,97 @@ def test_normalize_idempotent(text):
 
     once = normalize(text)
     assert normalize(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(_TEXT)
+def test_winnow_matches_duckdb(text):
+    """The winnow fingerprint must agree with the SQL oracle's
+    k-gram/window-min/bit_xor replay on adversarial inputs, not just the
+    corpus (kernel: functions/text_analysis._winnow_one)."""
+    from smart_ocr_spark.functions.text_analysis import _winnow_one
+
+    con = duckdb.connect()
+    got = _winnow_one(text)
+    want = con.execute(
+        """
+WITH s AS (SELECT regexp_replace(lower(coalesce(?, '')),
+                  '[ \\t\\n\\x0b\\f\\r]+', '', 'g') AS st),
+grams AS (
+  SELECT i,
+    ('0x' || substr(md5(substr(st, CAST(i AS INT), 5)), 1, 16))
+      ::UBIGINT::HUGEINT AS g,
+    count(*) OVER () AS n
+  FROM s, unnest(generate_series(1, len(st) - 4)) AS t(i)
+  WHERE len(st) >= 5),
+wins AS (
+  SELECT i, n,
+    min(g) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      AS mn
+  FROM grams),
+sel AS (SELECT DISTINCT mn FROM wins WHERE i <= greatest(n - 3, 1)),
+folded AS (SELECT CAST(bit_xor(mn) >> 1 AS BIGINT) AS fp FROM sel),
+short AS (
+  SELECT CAST((('0x' || substr(md5(st), 1, 16))::UBIGINT >> 1) AS BIGINT)
+    AS fp
+  FROM s WHERE len(st) < 5)
+SELECT fp FROM folded WHERE fp IS NOT NULL
+UNION ALL SELECT fp FROM short
+        """,
+        [text],
+    ).fetchone()[0]
+    assert got == want, (text,)
+    con.close()
+
+
+@settings(max_examples=100, deadline=None)
+@given(_TEXT)
+def test_simhash64_matches_duckdb(text):
+    """64-bit SimHash vs the SQL replay (big-endian md5 prefix, signed
+    two's-complement drop) on adversarial inputs."""
+    from smart_ocr_spark.functions.dedup import _simhash64_one
+
+    con = duckdb.connect()
+    got = _simhash64_one(text)
+    want = con.execute(
+        """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(?, '')),
+                '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS tok),
+tf AS (SELECT tok, count(*) AS w FROM tok GROUP BY tok),
+th AS (SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, w FROM tf),
+bits AS (
+  SELECT i, sum(CASE WHEN (h >> i) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+  GROUP BY i),
+uv AS (
+  SELECT coalesce(sum(CASE WHEN s >= 0 THEN (1::HUGEINT << i)
+                           ELSE 0::HUGEINT END),
+                  18446744073709551615::HUGEINT) AS v
+  FROM bits)
+SELECT CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+            THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+FROM uv
+        """,
+        [text],
+    ).fetchone()[0]
+    assert got == want, (text,)
+    con.close()
+
+
+@settings(max_examples=150, deadline=None)
+@given(_TEXT, _TEXT)
+def test_reconcile_total_and_stable(base, source):
+    """merge_latex_into_text must never crash on arbitrary input, must
+    return the base unchanged when the source has no LaTeX, and must be
+    idempotent when re-merging its own output with the same source's
+    non-display content absent."""
+    from smart_ocr_spark.kernel.reconcile import (
+        extract_latex_blocks,
+        merge_latex_into_text,
+    )
+
+    merged, n = merge_latex_into_text(base, source)
+    assert isinstance(merged, str) and n >= 0
+    if not extract_latex_blocks(source):
+        assert merged == base and n == 0
