@@ -540,6 +540,19 @@ def _apply_variant_attempt(
 # ---------------------------------------------------------------------------
 
 
+def needs_repair_py(row: dict) -> bool:
+    """Python mirror of :func:`needs_repair_col` for the fused Arrow
+    repair pass (state.py:37-57 analog).  Kept module-level so the
+    equivalence test can pin JVM filter == Python mirror row-for-row."""
+    if not row["parse_ok"]:
+        return False
+    if any(a["audit_passed"] for a in row["attempts"]):
+        return False
+    if row["is_born_digital"] and (row["native_text"] or ""):
+        return False
+    return row["total_chars"] > 0 and row["link_density"] <= 0.8
+
+
 def needs_repair_col() -> Column:
     """Document-grain needs_repair (reference state.py:37-57 + the
     legitimate-empty rule): no passing attempt, not covered by born-digital
@@ -601,16 +614,6 @@ def fused_repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFra
     schema = StructType([f for f in df.schema.fields if f.name != "html"])
     col_names = [f.name for f in schema.fields]
 
-    def _needs_repair_py(row: dict) -> bool:
-        # mirror of needs_repair_col() (state.py:37-57 analog)
-        if not row["parse_ok"]:
-            return False
-        if any(a["audit_passed"] for a in row["attempts"]):
-            return False
-        if row["is_born_digital"] and (row["native_text"] or ""):
-            return False
-        return row["total_chars"] > 0 and row["link_density"] <= 0.8
-
     def run(batches):
         from smart_ocr_spark.kernel import repair as repair_kernel
         from smart_ocr_spark.kernel.extract import extract_payload_variant
@@ -620,7 +623,7 @@ def fused_repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFra
             for row in records:
                 payload = row.pop("html", None)
                 row["attempts"] = list(row["attempts"])
-                if not _needs_repair_py(row):
+                if not needs_repair_py(row):
                     continue
                 atts = row["attempts"]
                 dominant = repair_kernel.dominant_failure(

@@ -455,3 +455,61 @@ class TestSelectionConsensus:
             parse_ok=False,
         )
         assert r["status"] == "failed_parse"
+
+
+class TestNeedsRepairMirror:
+    """needs_repair_col (JVM filter) and fused_repair_round's Python
+    mirror must agree row-for-row — a divergence would join rows for
+    repair that the kernel then silently skips (or vice versa)."""
+
+    def test_equivalence_over_combination_grid(self, spark):
+        import itertools
+
+        from pyspark.sql.types import (
+            ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+            StringType, StructField, StructType,
+        )
+
+        from smart_ocr_spark.operators import extract as ops
+
+        def att(passed):
+            return {
+                "attempt_idx": 0, "variant": "layout", "text": "t",
+                "escalated_from": "", "audit_passed": passed,
+                "primary_failure": "none", "failure_modes": [],
+                "failure_confidence": 0.0, "word_count": 1,
+                "avg_word_len": 1.0, "garbage_ratio": 0.0,
+                "has_structure": False,
+            }
+
+        rows = []
+        rid = 0
+        for parse_ok, passed, is_bd, native, chars, ld in itertools.product(
+            [True, False], [True, False], [True, False],
+            ["", "native"], [0, 10], [0.5, 0.9],
+        ):
+            rows.append(
+                (str(rid), [att(passed)], native, is_bd, parse_ok,
+                 chars, ld)
+            )
+            rid += 1
+        schema = StructType([
+            StructField("url", StringType()),
+            StructField("attempts", ArrayType(ops.ATTEMPT_SCHEMA)),
+            StructField("native_text", StringType()),
+            StructField("is_born_digital", BooleanType()),
+            StructField("parse_ok", BooleanType()),
+            StructField("total_chars", LongType()),
+            StructField("link_density", DoubleType()),
+        ])
+        df = spark.createDataFrame(rows, schema)
+        jvm_true = {
+            r["url"] for r in df.filter(ops.needs_repair_col()).collect()
+        }
+
+        py_true = {
+            r["url"]
+            for r in df.collect()
+            if ops.needs_repair_py(r.asDict())
+        }
+        assert jvm_true == py_true
