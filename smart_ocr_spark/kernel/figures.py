@@ -35,6 +35,16 @@ MAX_TOTAL = 25
 
 _PATH_PAINT = {b"S", b"s", b"f", b"F", b"B", b"b", b"n"}
 
+# O9 timeout-guard analog (reference figures/extractor.py:20-45 uses a
+# 30s SIGALRM per page; a deterministic work bound is the Spark-safe
+# equivalent — signals don't work on executor worker threads).
+# cluster_boxes is O(n^2) in collected boxes, so an adversarial page
+# with tens of thousands of paint ops would effectively hang the task;
+# past the cap further path boxes are dropped (page figure output is
+# capped at MAX_PER_PAGE anyway, and big figures emerge from the FIRST
+# few hundred boxes' union under clustering).
+MAX_SCAN_BOXES_PER_PAGE = 512
+
 Box = tuple[float, float, float, float]
 
 
@@ -66,13 +76,18 @@ def scan_page_boxes(
 
     def flush_path() -> None:
         nonlocal pts
-        if len(pts) >= 2:
+        if len(pts) >= 2 and len(drawings) < MAX_SCAN_BOXES_PER_PAGE:
             xs = [p[0] for p in pts]
             ys = [p[1] for p in pts]
             drawings.append((min(xs), min(ys), max(xs), max(ys)))
         pts = []
 
     while lx.pos < n:
+        if (
+            len(drawings) >= MAX_SCAN_BOXES_PER_PAGE
+            and len(images) >= MAX_SCAN_BOXES_PER_PAGE
+        ):
+            break  # O9 work bound: nothing further can change the output
         lx.skip_ws()
         if lx.pos >= n:
             break
@@ -119,7 +134,8 @@ def scan_page_boxes(
                     sx, sy, tx, ty = cm
                     x0, x1 = sorted((tx, tx + sx))
                     y0, y1 = sorted((ty, ty + sy))
-                    images.append((x0, y0, x1, y1))
+                    if len(images) < MAX_SCAN_BOXES_PER_PAGE:
+                        images.append((x0, y0, x1, y1))
         except (TypeError, ValueError):
             pass
         operands = []

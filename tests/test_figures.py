@@ -100,3 +100,28 @@ def test_passes_filters_margin_band_respects_origin():
     # same footer box, shifted page: still rejected when origin given
     shifted = (1200.0, 2010.0, 1400.0, 2200.0)
     assert not passes_filters(shifted, page_w, page_h, origin=(1000.0, 2000.0))
+
+
+def test_scan_boxes_bounded_on_adversarial_stream():
+    """O9 analog: a content stream with tens of thousands of paint ops
+    must not collect unbounded boxes (cluster_boxes is O(n^2) — this is
+    the deterministic stand-in for the reference's 30s SIGALRM page
+    guard)."""
+    import time
+
+    from smart_ocr_spark.kernel.figures import (
+        MAX_SCAN_BOXES_PER_PAGE,
+        cluster_boxes,
+        scan_page_boxes,
+    )
+
+    ops = b" ".join(
+        b"%d %d 100 100 re f" % (i % 500, (i * 7) % 700)
+        for i in range(50_000)
+    )
+    t0 = time.perf_counter()
+    drawings, images = scan_page_boxes(ops, set())
+    cluster_boxes(drawings)
+    elapsed = time.perf_counter() - t0
+    assert len(drawings) <= MAX_SCAN_BOXES_PER_PAGE
+    assert elapsed < 10.0, f"adversarial page took {elapsed:.1f}s"
