@@ -300,8 +300,15 @@ def q_skew_twostage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "cents", _cents(F.col("l_extendedprice"))
     )
+    li = li.withColumn(
+        "row_key",
+        F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    # row_key: per-row-unique salt discriminator — content hashing alone
+    # cannot spread byte-identical duplicate rows of a hot key
     return skew.two_stage_agg(
-        li, "l_returnflag", "cents", n_salts=16, hot_threshold=100
+        li, "l_returnflag", "cents", n_salts=16, hot_threshold=100,
+        row_key="row_key",
     ).select("l_returnflag", "n", F.col("sum_cents"))
 
 
