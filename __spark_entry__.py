@@ -913,6 +913,18 @@ def q_consensus_discrepancies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 2 Lloyd rounds, md5-order seeds,
+    exact-sum centroid updates) — oracle-checked cluster assignment per
+    vector.  The oracle unrolls both rounds in SQL."""
+    from smart_ocr_spark.functions import clustering
+
+    _ship(spark)
+    return clustering.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
@@ -961,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "reconcile_latex": q_reconcile_latex,
         "consensus_discrepancies": q_consensus_discrepancies,
+        "kmeans_clusters": q_kmeans_clusters,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1531,6 +1544,66 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "text_winnow_fingerprint": _WINNOW_SQL,
+        # k-means with k=8, 2 Lloyd rounds unrolled: seeds = 8 smallest
+        # md5(vec_id); assignment = cosine argmax (ties -> lower cluster);
+        # update = exact floor(x*1e9) means rounded to 4 (same convention
+        # as embedding_centroids).  Empty/zero clusters drop out of the
+        # candidate set on both sides.
+        "kmeans_clusters": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e),
+nn AS (SELECT * FROM n WHERE nrm > 0),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cl, v
+  FROM nn
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+c0 AS (SELECT cl, unnest(v) AS cv, generate_subscripts(v, 1) AS idx
+       FROM seeds),
+c0n AS (SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c0 GROUP BY cl
+        HAVING sqrt(sum(cv * cv)) > 0),
+el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+       FROM nn),
+a0dot AS (
+  SELECT el.vec_id, c0.cl, sum(el.val * c0.cv) AS dot
+  FROM el JOIN c0 ON c0.idx = el.idx
+  GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cl FROM (
+    SELECT a.vec_id, a.cl,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY a.dot / (nn.nrm * cn.cn) DESC, a.cl ASC) AS rn
+    FROM a0dot a
+    JOIN nn ON nn.vec_id = a.vec_id
+    JOIN c0n cn ON cn.cl = a.cl)
+  WHERE rn = 1),
+c1 AS (
+  SELECT a0.cl, el.idx,
+    round(CAST(sum(CAST(floor(el.val * 1e9) AS BIGINT)) AS DOUBLE)
+          / 1e9 / count(*), 4) + 0.0 AS cv
+  FROM a0 JOIN el ON el.vec_id = a0.vec_id
+  GROUP BY a0.cl, el.idx),
+c1n AS (SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c1 GROUP BY cl
+        HAVING sqrt(sum(cv * cv)) > 0),
+a1dot AS (
+  SELECT el.vec_id, c1.cl, sum(el.val * c1.cv) AS dot
+  FROM el JOIN c1 ON c1.idx = el.idx
+  GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cl, cos FROM (
+    SELECT a.vec_id, a.cl, a.dot / (nn.nrm * cn.cn) AS cos,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY a.dot / (nn.nrm * cn.cn) DESC, a.cl ASC) AS rn
+    FROM a1dot a
+    JOIN nn ON nn.vec_id = a.vec_id
+    JOIN c1n cn ON cn.cl = a.cl)
+  WHERE rn = 1)
+SELECT vec_id, CAST(cl AS INT) AS cluster,
+  round(cos, 4) + 0.0 AS cosine
+FROM a1
+""",
         # The 5-phase pipeline's status ladder replayed in SQL for the
         # identity-wrapped corpus (layout text == documents.text):
         #   success        = audit passes on the text (first_passing)

@@ -217,3 +217,24 @@ def test_label_centroids_shape(spark, embeddings):
         per_label.setdefault(r.label, []).append(r.idx)
     for lbl, idxs in per_label.items():
         assert sorted(idxs) == list(range(1, 9)), lbl
+
+
+def test_kmeans_deterministic_and_clusters_labels(spark, embeddings):
+    """k-means over the labeled fixture: same input -> identical
+    assignment across runs and partitionings; members of the same tight
+    label cluster land in the same k-means cluster."""
+    from smart_ocr_spark.functions import clustering
+
+    a = clustering.kmeans_assign(embeddings, k=3, iters=2).collect()
+    b = clustering.kmeans_assign(embeddings.repartition(7), k=3, iters=2).collect()
+    amap = {r.vec_id: (r.cluster, r.cosine) for r in a}
+    bmap = {r.vec_id: (r.cluster, r.cosine) for r in b}
+    assert amap == bmap
+
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    by_label = {}
+    for r in a:
+        by_label.setdefault(labels[r.vec_id], set()).add(r.cluster)
+    # every tight synthetic label cluster maps into ONE k-means cluster
+    for lab, cls in by_label.items():
+        assert len(cls) == 1, (lab, cls)
