@@ -238,3 +238,24 @@ def test_kmeans_deterministic_and_clusters_labels(spark, embeddings):
     # every tight synthetic label cluster maps into ONE k-means cluster
     for lab, cls in by_label.items():
         assert len(cls) == 1, (lab, cls)
+
+
+def test_ivf_over_kmeans_cells(spark, embeddings):
+    """The advertised composition: k-means output plugs in as ivf_topk's
+    coarse quantizer (replacing the given labels) and the per-cell exact
+    re-rank still finds the tight in-cluster neighbors."""
+    from pyspark.sql import functions as F
+
+    from smart_ocr_spark.functions import clustering, similarity
+
+    cells = clustering.kmeans_assign(embeddings, k=3, iters=2).select(
+        "vec_id", F.col("cluster").alias("label")
+    )
+    corpus = embeddings.drop("label").join(cells, "vec_id")
+    out = similarity.ivf_topk(corpus, k=2, n_probe=1)
+    top1 = {r.query_id: r.nbr_id for r in out.collect() if r.rank == 1}
+    labels = {r.vec_id: r.label for r in corpus.collect()}
+    # rank-1 neighbor shares the k-means cell by construction, and for
+    # the tight synthetic clusters that is also the true nearest cluster
+    for q, n in top1.items():
+        assert labels[q] == labels[n]
