@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_simhash16",          # bit-algebra dedup
     "ann_cosine_topk",          # brute-force similarity
     "ann_lsh_topk",             # bucketed similarity (scale path)
+    "kmeans_clusters",          # iterative clustering (broadcast Lloyd)
     "text_quality",             # scalar battery
     "merge_latest_state",       # checkpoint upsert analog
 ]
