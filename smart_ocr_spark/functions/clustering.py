@@ -34,6 +34,8 @@ def _seed_centroids(base: DataFrame, id_col: str, k: int) -> np.ndarray:
         .limit(k)
         .collect()
     )
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
     return np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
 
 
@@ -118,14 +120,20 @@ def kmeans_assign(
     """(id, cluster, cosine) after ``iters`` Lloyd rounds from
     deterministic md5-order seeds.  ``cosine`` is the similarity to the
     assigned centroid (rounded; +0.0 clears negative zero)."""
+    if iters < 1:
+        raise ValueError(f"kmeans_assign needs iters >= 1, got {iters}")
     base = (
         with_norm(corpus, vec_col)
         .select(F.col(id_col), "__v", "__norm")
         .where(F.col("__norm") > 0)
         .persist()
     )
-    dim = len(base.select("__v").first()["__v"])
     cmat = _seed_centroids(base, id_col, k)
+    if cmat.size == 0:
+        raise ValueError(
+            "kmeans_assign: corpus has no nonzero-norm vectors to seed from"
+        )
+    dim = cmat.shape[1]
     assigned = None
     for it in range(iters):
         assigned = _assign(base, cmat, id_col)

@@ -35,14 +35,14 @@ MAX_TOTAL = 25
 
 _PATH_PAINT = {b"S", b"s", b"f", b"F", b"B", b"b", b"n"}
 
-# O9 timeout-guard analog (reference figures/extractor.py:20-45 uses a
-# 30s SIGALRM per page; a deterministic work bound is the Spark-safe
-# equivalent — signals don't work on executor worker threads).
-# cluster_boxes is O(n^2) in collected boxes, so an adversarial page
-# with tens of thousands of paint ops would effectively hang the task;
-# past the cap further path boxes are dropped (page figure output is
-# capped at MAX_PER_PAGE anyway, and big figures emerge from the FIRST
-# few hundred boxes' union under clustering).
+# O9 timeout-guard analog (reference figures/extractor.py:108-125: a
+# 30s SIGALRM per page, and a page that trips it is SKIPPED entirely).
+# Signals don't work on executor worker threads, so the Spark-safe
+# equivalent is a deterministic work bound: cluster_boxes is O(n^2) in
+# collected boxes, and an adversarial page with tens of thousands of
+# paint ops would effectively hang the task.  A page that exceeds the
+# bound yields NO figures — exactly the reference's timeout semantics —
+# never a silently truncated subset.
 MAX_SCAN_BOXES_PER_PAGE = 512
 
 Box = tuple[float, float, float, float]
@@ -60,13 +60,15 @@ def _gap(a: Box, b: Box) -> float:
 
 def scan_page_boxes(
     content: bytes, image_names: set[str]
-) -> tuple[list[Box], list[Box]]:
+) -> tuple[list[Box], list[Box], bool]:
     """One pass over the content stream -> (drawing path bboxes,
-    placed image bboxes). Tracks current path points and the last ``cm``
-    translation+scale (axis-aligned subset — rotation is out of the
-    supported corpus, like the text interpreter)."""
+    placed image bboxes, truncated).  Tracks current path points and the
+    last ``cm`` translation+scale (axis-aligned subset — rotation is out
+    of the supported corpus, like the text interpreter).  ``truncated``
+    means the O9 work bound tripped and the page must be skipped."""
     drawings: list[Box] = []
     images: list[Box] = []
+    truncated = False
     lx = _Lexer(content, 0)
     operands: list = []
     pts: list[tuple[float, float]] = []
@@ -75,19 +77,19 @@ def scan_page_boxes(
     n = len(content)
 
     def flush_path() -> None:
-        nonlocal pts
-        if len(pts) >= 2 and len(drawings) < MAX_SCAN_BOXES_PER_PAGE:
-            xs = [p[0] for p in pts]
-            ys = [p[1] for p in pts]
-            drawings.append((min(xs), min(ys), max(xs), max(ys)))
+        nonlocal pts, truncated
+        if len(pts) >= 2:
+            if len(drawings) < MAX_SCAN_BOXES_PER_PAGE:
+                xs = [p[0] for p in pts]
+                ys = [p[1] for p in pts]
+                drawings.append((min(xs), min(ys), max(xs), max(ys)))
+            else:
+                truncated = True
         pts = []
 
     while lx.pos < n:
-        if (
-            len(drawings) >= MAX_SCAN_BOXES_PER_PAGE
-            and len(images) >= MAX_SCAN_BOXES_PER_PAGE
-        ):
-            break  # O9 work bound: nothing further can change the output
+        if truncated:
+            break  # O9 work bound tripped: the page will be skipped
         lx.skip_ws()
         if lx.pos >= n:
             break
@@ -136,10 +138,12 @@ def scan_page_boxes(
                     y0, y1 = sorted((ty, ty + sy))
                     if len(images) < MAX_SCAN_BOXES_PER_PAGE:
                         images.append((x0, y0, x1, y1))
+                    else:
+                        truncated = True
         except (TypeError, ValueError):
             pass
         operands = []
-    return drawings, images
+    return drawings, images, truncated
 
 
 def cluster_boxes(boxes: list[Box], gap: float = CLUSTER_GAP) -> list[Box]:
@@ -230,8 +234,11 @@ def doc_figures(payload: bytes, doc: "PdfDocument | None" = None) -> list[dict]:
                     hdr = getattr(x, "header", x)
                     if isinstance(hdr, dict) and hdr.get("Subtype") == "Image":
                         image_names.add(name)
-            drawings, images = scan_page_boxes(content, image_names)
+            drawings, images, truncated = scan_page_boxes(content, image_names)
         except Exception:
+            continue
+        if truncated:
+            # reference timeout semantics: the page yields NO figures
             continue
         page_count = 0
         for kind, boxes in (("drawing", cluster_boxes(drawings)), ("image", images)):

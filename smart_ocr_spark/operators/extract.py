@@ -558,7 +558,11 @@ def needs_repair_col() -> Column:
     legitimate-empty rule): no passing attempt, not covered by born-digital
     native text, and the source actually has extractable content."""
     any_passing = F.exists("attempts", lambda a: a["audit_passed"])
-    bd_covered = F.col("is_born_digital") & (F.length("native_text") > 0)
+    # coalesce: a NULL native_text must behave like "" (the Python
+    # mirror's `or ""`), not poison the whole predicate to NULL
+    bd_covered = F.col("is_born_digital") & (
+        F.length(F.coalesce("native_text", F.lit(""))) > 0
+    )
     has_content = (F.col("total_chars") > 0) & (F.col("link_density") <= 0.8)
     return ~any_passing & ~bd_covered & has_content & F.col("parse_ok")
 

@@ -120,8 +120,36 @@ def test_scan_boxes_bounded_on_adversarial_stream():
         for i in range(50_000)
     )
     t0 = time.perf_counter()
-    drawings, images = scan_page_boxes(ops, set())
+    drawings, images, truncated = scan_page_boxes(ops, set())
     cluster_boxes(drawings)
     elapsed = time.perf_counter() - t0
+    assert truncated, "work bound must trip on the adversarial page"
     assert len(drawings) <= MAX_SCAN_BOXES_PER_PAGE
     assert elapsed < 10.0, f"adversarial page took {elapsed:.1f}s"
+
+
+def test_dense_page_below_bound_keeps_all_boxes():
+    from smart_ocr_spark.kernel.figures import scan_page_boxes
+
+    ops = b" ".join(
+        b"%d %d 100 100 re f" % (i % 500, (i * 7) % 700) for i in range(400)
+    )
+    drawings, images, truncated = scan_page_boxes(ops, set())
+    assert not truncated
+    assert len(drawings) == 400
+
+
+def test_truncated_page_yields_no_figures():
+    """Reference parity (extractor.py:121-125): a page that trips the
+    per-page guard is skipped entirely — never a partial figure list."""
+    from smart_ocr_spark.kernel.figures import doc_figures
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    raw = " ".join(
+        "%d %d 120 120 re f" % ((i * 13) % 400 + 80, (i * 29) % 500 + 120)
+        for i in range(2_000)
+    )
+    pdf = build_pdf(
+        [[(72.0, 700.0, "text line")]], raw_page_prefix=[raw]
+    )
+    assert doc_figures(pdf) == []

@@ -161,3 +161,8 @@ def test_reconcile_total_and_stable(base, source):
     assert isinstance(merged, str) and n >= 0
     if not extract_latex_blocks(source):
         assert merged == base and n == 0
+    else:
+        # idempotence: the merged text already carries the source's
+        # blocks, so a second merge must not change the content again
+        merged2, _ = merge_latex_into_text(merged, source)
+        assert merged2 == merged

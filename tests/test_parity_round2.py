@@ -486,7 +486,7 @@ class TestNeedsRepairMirror:
         rid = 0
         for parse_ok, passed, is_bd, native, chars, ld in itertools.product(
             [True, False], [True, False], [True, False],
-            ["", "native"], [0, 10], [0.5, 0.9],
+            ["", "native", None], [0, 10], [0.5, 0.9],
         ):
             rows.append(
                 (str(rid), [att(passed)], native, is_bd, parse_ok,
