@@ -925,6 +925,26 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling, oracle-checked:
+    the md5-threshold keep decision is pure hash arithmetic, identical
+    in Spark and SQL — a reproducibility property df.sample (per-
+    partition RNG) cannot give."""
+    from smart_ocr_spark.functions import sampling
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "zh": 0.25},
+        default_fraction=0.1,
+        id_col="doc_id",
+        salt="r2",
+    )
+    return out.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
@@ -974,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_latex": q_reconcile_latex,
         "consensus_discrepancies": q_consensus_discrepancies,
         "kmeans_clusters": q_kmeans_clusters,
+        "sample_stratified": q_sample_stratified,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1544,6 +1565,13 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "text_winnow_fingerprint": _WINNOW_SQL,
+        "sample_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('r2:' || doc_id), 1, 8))::UBIGINT
+  < CASE lang WHEN 'en' THEN CAST(0.5  * 4294967296 AS UBIGINT)
+              WHEN 'zh' THEN CAST(0.25 * 4294967296 AS UBIGINT)
+              ELSE CAST(0.1 * 4294967296 AS UBIGINT) END
+""",
         # k-means with k=8, 2 Lloyd rounds unrolled: seeds = 8 smallest
         # md5(vec_id); assignment = cosine argmax (ties -> lower cluster);
         # update = exact floor(x*1e9) means rounded to 4 (same convention

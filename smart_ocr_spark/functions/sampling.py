@@ -1,0 +1,77 @@
+"""Deterministic corpus sampling (training-data op).
+
+Training pipelines sample constantly — held-out splits, per-language
+quotas, ablation subsets — and the samples must be REPRODUCIBLE:
+independent of partitioning, cluster size, row order, and engine.
+Spark's ``df.sample`` is none of those (seeded per-partition RNG), so
+these operators hash a stable row key instead:
+
+    keep  <=>  int(md5(salt ':' id)[:8 hex], 16) < fraction * 2^32
+
+All JVM column algebra (``conv(substr(md5(...)))`` — whole-stage
+codegen); the same arithmetic is one expression in any SQL engine, so
+every sample is exactly oracle-checkable.  Different ``salt`` values
+give independent samples; the same salt always reproduces the same
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_SPACE = 1 << 32  # first 8 md5 hex chars
+
+
+def sample_hash_col(id_col, salt: str):
+    """Uniform [0, 2^32) hash of (salt, id) — the sampling coordinate."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col)), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by stable hash of ``id_col``.
+
+    Exactly reproducible across runs, partitionings, and engines; rows
+    are kept or dropped by identity, never by position."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * HASH_SPACE)
+    return df.where(
+        sample_hash_col(F.col(id_col).cast("string"), salt) < F.lit(threshold)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    use ``default_fraction``.  The per-row decision is the same stable
+    hash as :func:`deterministic_sample`, so enlarging one stratum's
+    fraction only ADDS rows (nested samples — ablation-friendly)."""
+    for v in list(fractions.values()) + [default_fraction]:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {v}")
+    thr = F.lit(int(default_fraction * HASH_SPACE))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(frac * HASH_SPACE)),
+        ).otherwise(thr)
+    return df.where(
+        sample_hash_col(F.col(id_col).cast("string"), salt) < thr
+    )

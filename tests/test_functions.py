@@ -259,3 +259,49 @@ def test_ivf_over_kmeans_cells(spark, embeddings):
     # the tight synthetic clusters that is also the true nearest cluster
     for q, n in top1.items():
         assert labels[q] == labels[n]
+
+
+def test_deterministic_sample_properties(spark):
+    """Reproducible, partition-independent, nested (raising the
+    fraction only adds rows) — the properties df.sample lacks."""
+    from smart_ocr_spark.functions import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sampling.deterministic_sample(df, 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.deterministic_sample(df.repartition(13), 0.3).collect()
+    }
+    assert a == b, "sample must be partition-independent"
+    # roughly the right size (hash-uniform: generous tolerance)
+    assert 0.2 < len(a) / 2000 < 0.4
+    bigger = {
+        r.doc_id for r in sampling.deterministic_sample(df, 0.6).collect()
+    }
+    assert a <= bigger, "samples must be nested as fraction grows"
+    other_salt = {
+        r.doc_id
+        for r in sampling.deterministic_sample(df, 0.3, salt="z9").collect()
+    }
+    assert other_salt != a, "different salts give different samples"
+
+
+def test_stratified_sample_quotas(spark):
+    from smart_ocr_spark.functions import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        df, "lang", {"en": 0.8, "zh": 0.1}, default_fraction=0.0
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert 0.7 < by_lang["en"] / 1000 < 0.9
+    assert 0.05 < by_lang["zh"] / 1000 < 0.16
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.deterministic_sample(df, 1.5)
