@@ -945,6 +945,23 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination, oracle-checked: hash-split the corpus
+    into a 20% eval and 80% train side, then count each eval doc's
+    8-gram shingles that appear anywhere in train."""
+    from smart_ocr_spark.functions import contamination, sampling
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    h = sampling.sample_hash_col(F.col("doc_id").cast("string"), "eval")
+    cut = int(0.2 * sampling.HASH_SPACE)
+    eval_df = docs.where(h < F.lit(cut))
+    train = docs.where(h >= F.lit(cut))
+    return contamination.contamination_report(train, eval_df).select(
+        "doc_id", "n_shingles", "n_contaminated", "contamination"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
@@ -995,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_discrepancies": q_consensus_discrepancies,
         "kmeans_clusters": q_kmeans_clusters,
         "sample_stratified": q_sample_stratified,
+        "contamination_report": q_contamination_report,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1571,6 +1589,43 @@ WHERE ('0x' || substr(md5('r2:' || doc_id), 1, 8))::UBIGINT
   < CASE lang WHEN 'en' THEN CAST(0.5  * 4294967296 AS UBIGINT)
               WHEN 'zh' THEN CAST(0.25 * 4294967296 AS UBIGINT)
               ELSE CAST(0.1 * 4294967296 AS UBIGINT) END
+""",
+        "contamination_report": f"""
+WITH h AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('eval:' || doc_id), 1, 8))::UBIGINT AS hv
+  FROM documents),
+ev AS (SELECT doc_id, text FROM h
+       WHERE hv < CAST(0.2 * 4294967296 AS UBIGINT)),
+tr AS (SELECT doc_id, text FROM h
+       WHERE hv >= CAST(0.2 * 4294967296 AS UBIGINT)),
+evsh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 8 THEN
+      list_transform(generate_series(1, len(t) - 7),
+        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]))
+    ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM ev)),
+trsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_distinct(
+      CASE WHEN len(t) >= 8 THEN
+        list_transform(generate_series(1, len(t) - 7),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7]))
+      ELSE [] END)) AS shingle
+    FROM (SELECT {_TOKS_SQL} AS t FROM tr))),
+per AS (SELECT doc_id, count(*) AS n_shingles FROM evsh GROUP BY doc_id),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_contaminated
+  FROM evsh e JOIN trsh t ON t.shingle = e.shingle
+  GROUP BY e.doc_id)
+SELECT p.doc_id, p.n_shingles,
+  coalesce(hi.n_contaminated, 0) AS n_contaminated,
+  round(coalesce(hi.n_contaminated, 0) / CAST(p.n_shingles AS DOUBLE), 4)
+    AS contamination
+FROM per p LEFT JOIN hits hi ON hi.doc_id = p.doc_id
 """,
         # k-means with k=8, 2 Lloyd rounds unrolled: seeds = 8 smallest
         # md5(vec_id); assignment = cosine argmax (ties -> lower cluster);

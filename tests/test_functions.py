@@ -305,3 +305,31 @@ def test_stratified_sample_quotas(spark):
 
     with _pytest.raises(ValueError):
         sampling.deterministic_sample(df, 1.5)
+
+
+def test_contamination_detects_planted_leak(spark):
+    """A training doc copied verbatim into eval must report full
+    contamination; a disjoint eval doc reports zero."""
+    from smart_ocr_spark.functions import contamination
+
+    leak = " ".join(f"tok{i}" for i in range(30))
+    clean = " ".join(f"other{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(1, leak), (2, "unrelated training words " * 10)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, leak), (101, clean)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+        for r in contamination.contamination_report(train, eval_df).collect()
+    }
+    assert out[100][2] == 1.0, "verbatim copy must be fully contaminated"
+    assert out[101][1] == 0 and out[101][2] == 0.0
+
+    # partial overlap: eval doc shares its first half with train
+    mixed = " ".join(f"tok{i}" for i in range(15)) + " " + clean
+    eval2 = spark.createDataFrame([(200, mixed)], "doc_id long, text string")
+    [r] = contamination.contamination_report(train, eval2).collect()
+    assert 0.0 < r.contamination < 1.0
