@@ -953,10 +953,7 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship(spark)
     docs = _t(spark, sf_dir, "documents")
-    h = sampling.sample_hash_col(F.col("doc_id").cast("string"), "eval")
-    cut = int(0.2 * sampling.HASH_SPACE)
-    eval_df = docs.where(h < F.lit(cut))
-    train = docs.where(h >= F.lit(cut))
+    eval_df, train = sampling.deterministic_split(docs, 0.2, salt="eval")
     return contamination.contamination_report(train, eval_df).select(
         "doc_id", "n_shingles", "n_contaminated", "contamination"
     )
@@ -1583,12 +1580,16 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "text_winnow_fingerprint": _WINNOW_SQL,
-        "sample_stratified": """
+        # thresholds are the EXACT integers Spark computes —
+        # int(frac * 2^32) truncates while CAST(frac * 2^32 AS UBIGINT)
+        # rounds, an off-by-one that would keep a 1-in-2^32 hash value
+        # on one side only
+        "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5('r2:' || doc_id), 1, 8))::UBIGINT
-  < CASE lang WHEN 'en' THEN CAST(0.5  * 4294967296 AS UBIGINT)
-              WHEN 'zh' THEN CAST(0.25 * 4294967296 AS UBIGINT)
-              ELSE CAST(0.1 * 4294967296 AS UBIGINT) END
+  < CASE lang WHEN 'en' THEN {int(0.5 * 4294967296)}::UBIGINT
+              WHEN 'zh' THEN {int(0.25 * 4294967296)}::UBIGINT
+              ELSE {int(0.1 * 4294967296)}::UBIGINT END
 """,
         "contamination_report": f"""
 WITH h AS (
@@ -1596,9 +1597,9 @@ WITH h AS (
     ('0x' || substr(md5('eval:' || doc_id), 1, 8))::UBIGINT AS hv
   FROM documents),
 ev AS (SELECT doc_id, text FROM h
-       WHERE hv < CAST(0.2 * 4294967296 AS UBIGINT)),
+       WHERE hv < {int(0.2 * 4294967296)}::UBIGINT),
 tr AS (SELECT doc_id, text FROM h
-       WHERE hv >= CAST(0.2 * 4294967296 AS UBIGINT)),
+       WHERE hv >= {int(0.2 * 4294967296)}::UBIGINT),
 evsh AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(t) >= 8 THEN

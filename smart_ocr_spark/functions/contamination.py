@@ -35,19 +35,29 @@ def contamination_report(
 
     A doc with fewer than ``k`` tokens has no shingles and reports
     zero contamination over zero shingles (rate 0.0) — absent, not
-    NULL, mirroring the dedup shingle convention."""
+    NULL, mirroring the dedup shingle convention.
+
+    Single pass over the eval shingles: one LEFT join against the
+    distinct train-shingle set with a hit marker, one aggregation
+    counting total and hit shingles together — the expensive eval-side
+    shingling UDF runs exactly once (a semi-join + separate per-doc
+    count would evaluate it twice)."""
     ev = exploded_shingles(eval_df, id_col, text_col, k)
     train_shingles = (
         exploded_shingles(train, id_col, text_col, k)
         .select("shingle")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hit = ev.join(train_shingles, "shingle", "left_semi")
-    per_doc = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = hit.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    marked = ev.join(train_shingles, "shingle", "left")
     return (
-        per_doc.join(hits, id_col, "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
         .withColumn(
             "contamination",
             F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),

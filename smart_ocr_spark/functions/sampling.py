@@ -23,9 +23,17 @@ HASH_SPACE = 1 << 32  # first 8 md5 hex chars
 
 
 def sample_hash_col(id_col, salt: str):
-    """Uniform [0, 2^32) hash of (salt, id) — the sampling coordinate."""
+    """Uniform [0, 2^32) hash of (salt, id) — the sampling coordinate.
+
+    NULL-propagating on purpose (F.concat, not concat_ws): a NULL id
+    yields a NULL hash, and every threshold comparison drops the row —
+    the same thing '<salt>:' || NULL does in SQL.  concat_ws would
+    silently hash every NULL-id row to the constant md5(salt) and keep
+    or drop them as a block."""
     return F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col)), 1, 8),
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), id_col)), 1, 8
+        ),
         16,
         10,
     ).cast("bigint")
@@ -47,6 +55,23 @@ def deterministic_sample(
     return df.where(
         sample_hash_col(F.col(id_col).cast("string"), salt) < F.lit(threshold)
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, rest): the sample and its exact complement, from ONE
+    threshold — so the split logic (and its NULL/rounding semantics)
+    lives in one place.  NULL-id rows land in NEITHER side (their hash
+    is NULL), mirroring the SQL formulation."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * HASH_SPACE)
+    h = sample_hash_col(F.col(id_col).cast("string"), salt)
+    return df.where(h < F.lit(threshold)), df.where(h >= F.lit(threshold))
 
 
 def stratified_sample(

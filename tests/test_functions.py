@@ -301,10 +301,41 @@ def test_stratified_sample_quotas(spark):
     assert 0.7 < by_lang["en"] / 1000 < 0.9
     assert 0.05 < by_lang["zh"] / 1000 < 0.16
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         sampling.deterministic_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_deterministic_split_is_exact_partition(spark):
+    from smart_ocr_spark.functions import sampling
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    kept, rest = sampling.deterministic_split(df, 0.3, salt="sp")
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in rest.collect()}
+    assert a.isdisjoint(b)
+    assert len(a) + len(b) == 1000
+    sample = {
+        r.doc_id
+        for r in sampling.deterministic_sample(df, 0.3, salt="sp").collect()
+    }
+    assert a == sample
+
+
+def test_null_ids_excluded_from_samples(spark):
+    """NULL ids hash to NULL and land in neither side — the same
+    semantics as the SQL oracle's 'salt:' || NULL."""
+    from smart_ocr_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    kept, rest = sampling.deterministic_split(df, 0.99, salt="nn")
+    ids = {r.doc_id for r in kept.collect()} | {
+        r.doc_id for r in rest.collect()
+    }
+    assert None not in ids
 
 
 def test_contamination_detects_planted_leak(spark):
