@@ -959,6 +959,25 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, oracle-checked end-to-end: MinHash-LSH verified
+    pairs -> connected components (iterative min-label propagation to
+    fixpoint) -> (doc, component, is_canonical).  The oracle reaches the
+    same fixpoint with a recursive CTE over the same pair SQL."""
+    from smart_ocr_spark.functions import components, dedup
+
+    _ship(spark)
+    pairs = dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+    comps = components.connected_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        "component_id",
+        (F.col("id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
@@ -1010,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "sample_stratified": q_sample_stratified,
         "contamination_report": q_contamination_report,
+        "dedup_components": q_dedup_components,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1267,6 +1287,27 @@ short AS (
 SELECT doc_id, winnow_fp FROM folded
 UNION ALL
 SELECT doc_id, winnow_fp FROM short
+"""
+
+
+def _dedup_components_oracle() -> str:
+    """Connected components over the MinHash-LSH pair graph: recursive
+    reachability labels, min over reachable ids = component id — the
+    same fixpoint the Spark min-label propagation loop converges to."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_pairs_oracle()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+r(id, comp) AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e.dst AS id, r.comp FROM r JOIN edges e ON e.src = r.id)
+SELECT id AS doc_id, min(comp) AS component_id,
+       id = min(comp) AS is_canonical
+FROM r GROUP BY id
 """
 
 
@@ -1576,6 +1617,7 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
 """,
         "dedup_minhash": _minhash_oracle(),
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_oracle(),
+        "dedup_components": _dedup_components_oracle(),
         "dedup_simhash64_pairs": _SIMHASH64_PAIRS_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -1,0 +1,115 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair emitters (MinHash-LSH, SimHash, embedding near-dup) answer "which
+documents look alike"; the actionable dedup answer is "which GROUP does
+each document belong to, and which single copy survives".  That is
+connected components over the pair graph, with the canonical id = the
+minimum doc id in each component.
+
+Scale design: iterative min-label propagation — per round, every node
+takes the min of its own label and its neighbors' labels; shuffles are
+keyed by node id and cost O(E) per round; rounds needed = component
+diameter, and near-dup components are small and dense (mirror sets of
+the same document), so convergence is fast.  The loop stops at an
+observed fixpoint, giving the exact components — the same fixpoint a
+SQL recursive CTE reaches, which is what makes this oracle-checkable.
+(At extreme diameters the large-star/small-star variant halves round
+counts; for dedup graphs plain propagation is the right tool.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_CC_ITERS = 25  # >= diameter of any sane near-dup component
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = MAX_CC_ITERS,
+) -> DataFrame:
+    """(id, component_id) for every id appearing in ``pairs``;
+    component_id = min id in the component.  Raises if the graph has
+    not converged within ``max_iters`` rounds (diameter larger than any
+    plausible dup cluster — a sign the input is not a dup graph)."""
+    spark = pairs.sparkSession
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint per round: iterative self-joins otherwise grow the
+    # logical plan linearly in rounds (each round's frame embeds the
+    # whole history), which OOMs the DRIVER on plan analysis long before
+    # data size matters.  Checkpointing truncates lineage to the
+    # materialized data.  (On a fault-tolerant production run, set a
+    # checkpoint dir and use .checkpoint() — same shape.)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("old_comp")), "id"
+            )
+            .where(F.col("comp") != F.col("old_comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(
+                F.col("id"), F.col("comp").alias("component_id")
+            )
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds any plausible dup cluster"
+    )
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The dedup keep-list: every doc not in any pair, plus the minimum
+    id of each near-dup component.  One broadcast-size join against the
+    (small) component table."""
+    comps = connected_components(pairs, a_col, b_col)
+    drop = comps.where(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -364,3 +364,50 @@ def test_contamination_detects_planted_leak(spark):
     eval2 = spark.createDataFrame([(200, mixed)], "doc_id long, text string")
     [r] = contamination.contamination_report(train, eval2).collect()
     assert 0.0 < r.contamination < 1.0
+
+
+def test_connected_components_shapes(spark):
+    from smart_ocr_spark.functions import components
+
+    # two chains + a triangle + an isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    comps = {
+        r.id: r.component_id
+        for r in components.connected_components(pairs).collect()
+    }
+    assert comps == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_canonical_docs_keep_list(spark):
+    from smart_ocr_spark.functions import components
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r.doc_id
+        for r in components.canonical_docs(docs, pairs).collect()
+    }
+    # 2 and 5 are non-canonical members; everything else survives
+    assert kept == {0, 1, 3, 4}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from smart_ocr_spark.functions import components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    comps = components.connected_components(pairs)
+    assert {r.component_id for r in comps.collect()} == {0}
