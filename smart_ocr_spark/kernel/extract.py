@@ -123,8 +123,9 @@ def extract_payload_variant(payload: bytes, variant: str) -> str | None:
     try:
         if sniff_pdf(payload):
             # "density" must be a genuinely different kernel config for
-            # PDFs too (basic content-stream mode, normalized) — mapping
-            # it to layout duplicated the failing attempt byte-for-byte
+            # PDFs too: basic mode renders single-column in y-order
+            # (pdf_extract.render_page_text n_cols=1) — the escape hatch
+            # when the layout pass's column split was itself the failure
             mode = "basic" if variant in ("basic", "raw", "density") else "layout"
             text, _ = extract_pdf(payload, mode)
             return text if variant in ("basic", "raw") else finalize_text(text)

@@ -132,15 +132,38 @@ _ATTR_RE = re.compile(
 _AUTOCLOSE = {
     "p": {"p"},
     "li": {"li"},
-    "tr": {"tr"},
-    "td": {"td", "th"},
-    "th": {"td", "th"},
+    # a new row (or section) implicitly closes the open cell AND the open
+    # row — omitting </td>/</tr> is valid HTML5; without this, every
+    # following row nests inside the previous cell and the grid collapses
+    "tr": {"tr", "thead", "tbody", "tfoot"},
+    "td": {"td", "th", "tr", "thead", "tbody", "tfoot"},
+    "th": {"td", "th", "tr", "thead", "tbody", "tfoot"},
     "dd": {"dd", "dt"},
     "dt": {"dd", "dt"},
     "option": {"option"},
     "thead": {"tbody", "tfoot"},
     "tbody": {"tbody", "tfoot"},
 }
+
+
+def _find_tag_end(html: str, pos: int) -> int:
+    """Index of the unquoted '>' closing the tag starting before ``pos``,
+    or -1.  A '>' inside a quoted attribute value (alt="a > b") must not
+    end the tag — taking the first raw '>' injects the attribute tail
+    into extracted text as literal markup."""
+    n = len(html)
+    quote = ""
+    while pos < n:
+        c = html[pos]
+        if quote:
+            if c == quote:
+                quote = ""
+        elif c in "\"'":
+            quote = c
+        elif c == ">":
+            return pos
+        pos += 1
+    return -1
 
 
 def parse_html(html: str) -> Node:
@@ -191,13 +214,19 @@ def parse_html(html: str) -> Node:
             i = lt + 1
             continue
         name = m.group(0).lower()
-        end = html.find(">", m.end())
+        end = _find_tag_end(html, m.end())
         if end == -1:
             break
         attr_str = html[m.end() : end]
-        self_closing = attr_str.rstrip().endswith("/")
+        stripped = attr_str.rstrip()
+        # a trailing '/' is self-closing ONLY after whitespace, a quote,
+        # or the bare tag name: in an unquoted attribute value
+        # (href=http://x.com/) the solidus is part of the value (HTML5)
+        self_closing = stripped.endswith("/") and (
+            len(stripped) == 1 or stripped[-2] in " \t\n\r\f\"'"
+        )
         if self_closing:
-            attr_str = attr_str.rstrip()[:-1]
+            attr_str = stripped[:-1]
         attrs = {}
         for am in _ATTR_RE.finditer(attr_str):
             k = am.group(1).lower()
@@ -337,6 +366,19 @@ def segment_blocks(root: Node) -> list[Block]:
 
             if tag == "table":
                 flush_partial(sink, in_boiler, depth)
+                for sub in child.children:
+                    if sub.tag == "caption":
+                        cap = _collapse_ws(_inline_text(sub))
+                        if cap:
+                            blocks.append(
+                                Block(
+                                    kind="caption",
+                                    text=cap,
+                                    total_chars=len(cap),
+                                    in_boilerplate_container=boiler,
+                                    depth=depth,
+                                )
+                            )
                 rows = _extract_table(child)
                 if rows:
                     flat = " ".join(c for r in rows for c in r if c)
@@ -459,7 +501,8 @@ def classify_blocks(blocks: list[Block], variant: str = "layout") -> list[bool]:
             provisional.append(0)
         elif b.kind == "table":
             provisional.append(1)
-        elif b.kind in ("h1", "h2", "h3", "h4", "h5", "h6", "li", "caption"):
+        elif b.kind in ("h1", "h2", "h3", "h4", "h5", "h6", "li", "caption",
+                        "pre"):
             # Structure carriers: kept unless link-heavy (nav lists etc.).
             provisional.append(0 if b.link_density > ld_max else 1)
         elif b.link_density > ld_max:

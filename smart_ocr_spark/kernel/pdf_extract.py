@@ -118,7 +118,8 @@ class _Lexer:
             out.append(self.parse_object())
 
     def _parse_name(self) -> str:
-        assert self.peek() == b"/"
+        if self.peek() != b"/":
+            raise PdfError("expected name token")
         d, i = self.data, self.pos + 1
         start = i
         n = len(d)
@@ -475,7 +476,10 @@ class TextRun:
     size: float = 0.0
 
 
-_PDFDOC_FALLBACK = "latin-1"
+# WinAnsiEncoding is cp1252: curly quotes, dashes and bullets live in
+# 0x80-0x9F where latin-1 has C1 controls.  cp1252 leaves five bytes
+# undefined; those pass through at their latin-1 value.
+_WINANSI_UNDEFINED = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
 
 
 def _decode_pdf_string(raw: bytes) -> str:
@@ -484,7 +488,13 @@ def _decode_pdf_string(raw: bytes) -> str:
             return raw[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             return raw[2:].decode("utf-16-be", "replace")
-    return raw.decode(_PDFDOC_FALLBACK)
+    try:
+        return raw.decode("cp1252")
+    except UnicodeDecodeError:
+        return "".join(
+            chr(b) if b in _WINANSI_UNDEFINED else bytes([b]).decode("cp1252")
+            for b in raw
+        )
 
 
 def interpret_content(content: bytes, font_map: dict[str, str] | None = None) -> list[TextRun]:
@@ -676,30 +686,44 @@ def estimate_columns(lines: list[Line], page_width: float) -> int:
     return min(columns, 4)
 
 
-def _split_columns(lines: list[Line], page_width: float, n_cols: int) -> list[list[Line]]:
-    """Assign lines to columns by x-center against even column bounds."""
+def _split_columns(
+    lines: list[Line], page_width: float, n_cols: int, x_origin: float = 0.0
+) -> list[list[Line]]:
+    """Assign lines to columns by x-center against even column bounds.
+
+    ``x_origin`` is the MediaBox lower-left x: on cropped scans the
+    content coordinates start there, and bucketing by the absolute
+    center would collapse every column into the last bucket."""
     if n_cols <= 1:
         return [lines]
     width = page_width / n_cols
     cols: list[list[Line]] = [[] for _ in range(n_cols)]
     for ln in lines:
-        center = (ln.x0 + ln.x1) / 2.0
-        idx = min(int(center / width), n_cols - 1)
+        center = (ln.x0 + ln.x1) / 2.0 - x_origin
+        idx = min(max(int(center / width), 0), n_cols - 1)
         cols[idx].append(ln)
     return [c for c in cols if c]
 
 
-def render_page_text(lines: list[Line], page_width: float = 612.0) -> str:
+def render_page_text(
+    lines: list[Line],
+    page_width: float = 612.0,
+    x_origin: float = 0.0,
+    n_cols: int | None = None,
+) -> str:
     """Lines -> paragraphs: reading order = column-major, top-to-bottom.
 
     Paragraph break when the y-gap between consecutive lines exceeds
-    ``_PARA_GAP_FACTOR`` x the median line pitch.
+    ``_PARA_GAP_FACTOR`` x the median line pitch.  ``n_cols`` overrides
+    the estimate (callers that already computed it, or the single-column
+    ``basic`` kernel mode).
     """
     if not lines:
         return ""
-    n_cols = estimate_columns(lines, page_width)
+    if n_cols is None:
+        n_cols = estimate_columns(lines, page_width)
     paragraphs: list[str] = []
-    for col in _split_columns(lines, page_width, n_cols):
+    for col in _split_columns(lines, page_width, n_cols, x_origin):
         col = sorted(col, key=lambda ln: -ln.y)
         gaps = [col[i].y - col[i + 1].y for i in range(len(col) - 1)]
         positive = sorted(g for g in gaps if g > 0)
@@ -744,12 +768,8 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
     images = 0
     max_cols = 1
     for page in pages:
-        font_names = doc.page_fonts(page)
-        n_fonts.update(font_names)
-        if any(MATH_FONT_RE.search(f) for f in font_names):
-            math_font = True
-        images += doc.page_image_count(page)
-        # Resource name -> BaseFont map for Tf resolution
+        # ONE Resources/Font walk serves both the math-font signal and
+        # the Tf resolution map (page_fonts duplicated this resolve)
         res = doc.resolve(page.get("Resources")) or {}
         fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
         fmap = {}
@@ -758,12 +778,29 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
                 f = doc.resolve(fref)
                 if isinstance(f, dict) and isinstance(f.get("BaseFont"), str):
                     fmap[rname] = f["BaseFont"]
+        n_fonts.update(fmap.values())
+        if any(MATH_FONT_RE.search(f) for f in fmap.values()):
+            math_font = True
+        images += doc.page_image_count(page)
         media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
-        page_width = float(doc.resolve(media[2])) - float(doc.resolve(media[0]))
+        x_origin = float(doc.resolve(media[0]))
+        page_width = float(doc.resolve(media[2])) - x_origin
         runs = interpret_content(doc.page_content(page), fmap)
         lines = reconstruct_lines(runs)
-        max_cols = max(max_cols, estimate_columns(lines, page_width))
-        page_texts.append(render_page_text(lines, page_width))
+        n_cols = estimate_columns(lines, page_width)
+        max_cols = max(max_cols, n_cols)
+        # "basic" is a genuinely different reconstruction, not just a
+        # different page separator: single-column y-order rendering —
+        # the repair-tier escape hatch for pages where the column
+        # split itself was the failure
+        page_texts.append(
+            render_page_text(
+                lines,
+                page_width,
+                x_origin=x_origin,
+                n_cols=1 if variant == "basic" else n_cols,
+            )
+        )
 
     text = "\n\n---\n\n".join(page_texts) if variant != "basic" else "\n\n".join(page_texts)
     signals = {

@@ -180,3 +180,66 @@ def test_mixed_content_preserves_reading_order():
     blocks = segment_blocks(parse_html(html))
     texts = [b.text for b in blocks]
     assert texts == ["intro text here", "nested para", "tail text after"], texts
+
+
+def test_gt_inside_quoted_attribute():
+    """'>' inside alt/title/onclick must not end the tag (markup tail
+    leaked into extracted text before)."""
+    from smart_ocr_spark.kernel.html_extract import (
+        classify_blocks, parse_html, render_blocks, segment_blocks,
+    )
+
+    html = '<html><body><p>Hello <img alt="a > b" src="x.png"> world</p></body></html>'
+    blocks = segment_blocks(parse_html(html))
+    text = render_blocks(blocks, classify_blocks(blocks, "basic"), "basic")
+    assert 'src=' not in text and '"' not in text
+    assert "Hello" in text and "world" in text
+
+
+def test_optional_end_tags_table_grid():
+    """HTML5 optional </td>/</tr>: rows must not nest into the previous
+    cell."""
+    from smart_ocr_spark.kernel.html_extract import parse_html, segment_blocks
+
+    html = "<table><tr><td>A1<td>A2<tr><td>B1<td>B2</table>"
+    blocks = segment_blocks(parse_html(html))
+    [tbl] = [b for b in blocks if b.kind == "table"]
+    assert tbl.table_rows == [["A1", "A2"], ["B1", "B2"]]
+
+
+def test_caption_text_extracted():
+    from smart_ocr_spark.kernel.html_extract import parse_html, segment_blocks
+
+    html = "<table><caption>Figure 1: results</caption><tr><td>A</td></tr></table>"
+    blocks = segment_blocks(parse_html(html))
+    kinds = {b.kind: b.text for b in blocks}
+    assert kinds.get("caption") == "Figure 1: results"
+
+
+def test_unquoted_url_trailing_slash_not_self_closing():
+    """href=http://x.com/ — the solidus is part of the unquoted value,
+    not a self-closing marker; anchor text must count as link chars."""
+    from smart_ocr_spark.kernel.html_extract import parse_html, segment_blocks
+
+    html = "<div><a href=http://example.com/>this link here</a></div>"
+    blocks = segment_blocks(parse_html(html))
+    [b] = blocks
+    assert b.link_chars == len("this link here")
+
+
+def test_pre_block_survives_classification():
+    """Short code blocks are structure carriers, not smoothing fodder."""
+    from smart_ocr_spark.kernel.html_extract import (
+        classify_blocks, parse_html, segment_blocks,
+    )
+
+    html = (
+        "<html><body><nav><a href=x>menu</a></nav>"
+        "<h1>Title</h1><p>short intro</p>"
+        "<pre>x = compute(y)</pre>"
+        "<nav><a href=y>more nav</a></nav></body></html>"
+    )
+    blocks = segment_blocks(parse_html(html))
+    keep = classify_blocks(blocks, "layout")
+    kept_kinds = {b.kind for b, k in zip(blocks, keep) if k}
+    assert "pre" in kept_kinds

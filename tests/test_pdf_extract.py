@@ -129,3 +129,56 @@ def test_basic_text_not_corrupted_by_literal_separator_lines():
     assert "---" in r["basic_text"]
     # exactly one page separator in layout (2 pages), none invented
     assert r["layout_text"].count("\n\n---\n\n") >= 1
+
+
+def test_split_columns_honors_mediabox_origin():
+    """Two columns on a page whose MediaBox starts at x=200: bucketing
+    by absolute centers collapsed both into one column before."""
+    from smart_ocr_spark.kernel.pdf_extract import Line, render_page_text
+
+    lines = []
+    for i in range(5):
+        lines.append(Line(x0=210.0, x1=400.0, y=700.0 - 14 * i, text=f"L{i}"))
+        lines.append(Line(x0=620.0, x1=800.0, y=700.0 - 14 * i, text=f"R{i}"))
+    out = render_page_text(lines, page_width=612.0, x_origin=200.0)
+    li = [t for t in out.replace("\n\n", "\n").split("\n")]
+    assert li.index("L4") < li.index("R0"), out  # column-major order
+
+
+def test_basic_mode_is_single_column():
+    """The 'basic' variant renders y-order single-column — a genuinely
+    different reconstruction for the repair tier, not just a different
+    page separator."""
+    from smart_ocr_spark.sources.corpus import build_pdf
+    from smart_ocr_spark.kernel.pdf_extract import extract_pdf
+
+    pages = [[]]
+    for i in range(6):
+        pages[0].append((72.0, 700.0 - 16 * i, f"left{i} words here"))
+        pages[0].append((400.0, 700.0 - 16 * i, f"right{i} words here"))
+    pdf = build_pdf(pages)
+    layout, sig = extract_pdf(pdf, "layout")
+    basic, _ = extract_pdf(pdf, "basic")
+    if sig["column_count"] > 1:
+        assert layout != basic
+
+
+def test_bad_name_token_degrades_not_asserts():
+    """A malformed name token inside a content stream must be skipped
+    (PdfError recovery), not escape as AssertionError."""
+    from smart_ocr_spark.kernel.pdf_extract import interpret_content
+
+    content = b"BT /F1 12 Tf 72 700 Td (Before) Tj << 3 >> BDC (After) Tj ET"
+    runs = interpret_content(content)
+    texts = [r.text for r in runs]
+    assert "Before" in texts
+
+
+def test_winansi_punctuation_decoded():
+    """0x80-0x9F WinAnsi: em dash / curly quotes must decode to the
+    real characters, not C1 controls."""
+    from smart_ocr_spark.kernel.pdf_extract import _decode_pdf_string
+
+    assert _decode_pdf_string(b"a\x97b") == "a—b"      # em dash
+    assert _decode_pdf_string(b"\x93q\x94") == "“q”"  # curly quotes
+    assert _decode_pdf_string(b"\x81") == "\x81"  # undefined byte passthrough
