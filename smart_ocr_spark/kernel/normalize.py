@@ -190,7 +190,7 @@ def strip_phantom_images(text: str) -> str:
         return ""
 
     text = _RE_MD_IMAGE.sub(_replace, text)
-    return re.sub(r"\n{3,}", "\n\n", text)
+    return _RE_EXCESS_BLANK.sub("\n\n", text)
 
 
 # --- batch entry points (used inside Arrow-batch UDFs) ---
@@ -207,8 +207,13 @@ def normalize_series(texts, variants=None):
         return pd.Series(
             [normalize(t or "", variants) for t in texts], index=texts.index
         )
+    # per-row variants arrive from Arrow with missing values as NaN
+    # (floats), which are truthy — only a real string may pass through
     return pd.Series(
-        [normalize(t or "", v or "") for t, v in zip(texts, variants)],
+        [
+            normalize(t or "", v if isinstance(v, str) else "")
+            for t, v in zip(texts, variants)
+        ],
         index=texts.index,
     )
 

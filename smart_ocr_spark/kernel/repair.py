@@ -46,8 +46,13 @@ CAPABLE_VARIANTS = ["layout", "density", "layout_alt"]  # _CAPABLE_ENGINES analo
 
 
 def candidates(tried: set[str], chain: list[str] | None = None) -> list[str]:
-    """Untried chain variants in order (reference repair.py:178-181)."""
-    return [v for v in (chain or DEFAULT_CHAIN) if v not in tried]
+    """Untried chain variants in order (reference repair.py:178-181).
+
+    An explicitly EMPTY chain means "repair disabled" and yields no
+    candidates — `chain or DEFAULT_CHAIN` would silently re-enable the
+    full default chain."""
+    source = DEFAULT_CHAIN if chain is None else chain
+    return [v for v in source if v not in tried]
 
 
 def _pick_different_family(tried: set[str], cands: list[str]) -> str:
@@ -90,13 +95,17 @@ def select_repair_variant(
     deterministic in-process kernels pass ``truncation_retries=0`` (a
     same-variant retry would reproduce byte-identical output).
     """
+    cands = candidates(tried, chain)
     if (
         failure_mode == audit.TRUNCATED
         and last_variant is not None
         and last_variant_runs <= truncation_retries
+        and cands
     ):
+        # retry only while the chain still has untried work: once the
+        # chain is spent the documented exhaustion contract (-> None)
+        # wins over another guaranteed round
         return last_variant
-    cands = candidates(tried, chain)
     if not cands:
         return None
     if failure_mode == audit.HALLUCINATION:

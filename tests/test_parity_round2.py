@@ -513,3 +513,32 @@ class TestNeedsRepairMirror:
             if ops.needs_repair_py(r.asDict())
         }
         assert jvm_true == py_true
+
+
+class TestRouterEdgeCases:
+    """Fourth-review fixes: empty chain, exhaustion vs truncation retry,
+    NaN variant plumbing."""
+
+    def test_empty_chain_disables_repair(self):
+        assert repair.candidates(set(), chain=[]) == []
+        assert repair.select_repair_variant(audit.GARBAGE, set(), chain=[]) is None
+
+    def test_truncation_retry_respects_exhaustion(self):
+        v = repair.select_repair_variant(
+            audit.TRUNCATED,
+            set(repair.DEFAULT_CHAIN),
+            last_variant="raw",
+            last_variant_runs=1,
+            truncation_retries=1,
+        )
+        assert v is None, "spent chain must return None, not another retry"
+
+    def test_normalize_series_nan_variant(self):
+        import pandas as pd
+
+        out = normalize.normalize_series(
+            pd.Series(["a  b", "c  d"]),
+            pd.Series(["nougat", float("nan")]),
+        )
+        assert list(out) == [normalize.normalize("a  b", "nougat"),
+                             normalize.normalize("c  d", "")]
