@@ -789,6 +789,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, n_planes=8)
 
 
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, oracle-checked exactly: the
+    synthetic embeddings have no natural near-dups (max pairwise cosine
+    ~0.5), so every vec_id % 10 == 0 vector gets a deterministic mirror
+    (id + 1,000,000, vector scaled x2).  Cosine is scale-invariant, so
+    each mirror pair has cosine exactly 1.0 AND identical LSH buckets in
+    every table (hyperplane signs are scale-invariant too) — the
+    LSH-gated path provably finds exactly the >= 0.99 pairs, which is
+    what lets a plain N^2 SQL join serve as an EXACT oracle for the
+    bucketed plan."""
+    from smart_ocr_spark.functions import similarity
+
+    _ship(spark)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    mirrors = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    return similarity.cosine_near_dup_pairs(
+        e.unionByName(mirrors), threshold=0.99, n_planes=8, n_tables=2
+    )
+
+
 def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import dedup
 
@@ -1030,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "contamination_report": q_contamination_report,
         "dedup_components": q_dedup_components,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1618,6 +1645,29 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "dedup_minhash": _minhash_oracle(),
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_oracle(),
         "dedup_components": _dedup_components_oracle(),
+        # exact N^2 oracle is valid for the LSH-gated Spark plan: the
+        # only >= 0.99 pairs are the scaled mirrors, whose buckets are
+        # identical by scale-invariance (see q_dedup_embedding_neardup)
+        "dedup_embedding_neardup": """
+WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+u AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0)
+  FROM e WHERE vec_id % 10 = 0),
+n AS (SELECT vec_id, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM u)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4)
+         AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+GROUP BY 1, 2
+""",
         "dedup_simhash64_pairs": _SIMHASH64_PAIRS_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
