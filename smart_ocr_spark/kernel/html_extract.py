@@ -152,6 +152,15 @@ def _find_tag_end(html: str, pos: int) -> int:
     end the tag — taking the first raw '>' injects the attribute tail
     into extracted text as literal markup."""
     n = len(html)
+    # Fast path: if no quote char occurs before the next '>', that '>'
+    # cannot be inside a quoted value — skip the per-char scan (most
+    # tags have unquoted or no attributes).
+    gt = html.find(">", pos)
+    if gt == -1:
+        return -1
+    seg = html[pos:gt]
+    if '"' not in seg and "'" not in seg:
+        return gt
     quote = ""
     while pos < n:
         c = html[pos]
@@ -184,18 +193,20 @@ def parse_html(html: str) -> Node:
             break
         if lt > i:
             _append_text(stack[-1], html[i:lt])
-        # Comment
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
-            continue
-        # Doctype / CDATA / other declarations
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
+        # One-char dispatch (startswith per candidate costs ~4 probes/tag)
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt in "!?":
+            # Comment
+            if nxt == "!" and html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+                continue
+            # Doctype / CDATA / other declarations
             end = html.find(">", lt)
             i = n if end == -1 else end + 1
             continue
         # Closing tag
-        if html.startswith("</", lt):
+        if nxt == "/":
             end = html.find(">", lt)
             if end == -1:
                 break
@@ -292,6 +303,22 @@ _WS_RE = re.compile(r"[ \t\r\n\f\v ]+")
 
 
 def _collapse_ws(s: str) -> str:
+    # Fast path: when none of the collapsible characters is present and
+    # no run of two spaces exists, the sub is the identity — and since
+    # plain spaces are then the only whitespace in s, strip() is exact.
+    # Text nodes are the hottest call site (~180 calls/doc) and most are
+    # already clean, so seven C-level membership probes beat one regex
+    # sub; the fallback is byte-identical to the old path.
+    if (
+        "\t" not in s
+        and "\n" not in s
+        and "\r" not in s
+        and "\f" not in s
+        and "\v" not in s
+        and "\xa0" not in s
+        and "  " not in s
+    ):
+        return s.strip()
     return _WS_RE.sub(" ", s).strip()
 
 

@@ -113,12 +113,32 @@ def _strip_missing_pages(text: str) -> str:
     return text
 
 
+def _may_have_line_repeat(text: str) -> bool:
+    """Conservative gate for ``_RE_LINE_REPEAT``: any match implies five
+    consecutive identical lines of >= 20 chars, so two adjacent identical
+    long lines are a necessary condition.  One C-speed split + compare
+    pass beats the backreference regex scanning the whole text (~10x on
+    typical documents); false positives just fall through to the regex."""
+    prev = None
+    for ln in text.split("\n"):
+        if prev is not None and len(ln) >= 20 and ln == prev:
+            return True
+        prev = ln
+    return False
+
+
 def normalize_generic(text: str) -> str:
     """Generic normalization pass (reference normalizer.py:209-240).
 
     Order is load-bearing: CRLF -> whole-output fence unwrap -> repetition
     collapse -> NFKC -> char map -> trailing-ws strip -> blank collapse ->
     outer strip.
+
+    Each regex sub is gated by an exact cheap necessary condition (plain
+    substring probes / ``isascii``): the subs are full-text scans that
+    usually match nothing, and the gates skip them byte-identically —
+    pinned by the golden tests plus an equivalence fuzz
+    (tests/test_normalize.py).
     """
     text = text.replace("\r\n", "\n").replace("\r", "\n")
 
@@ -126,12 +146,19 @@ def normalize_generic(text: str) -> str:
     if fence_match:
         text = fence_match.group(1)
 
-    text = _RE_LINE_REPEAT.sub(r"\1\n", text)
-    text = unicodedata.normalize("NFKC", text)
-    for src, dst in _UNICODE_MAP:
-        text = text.replace(src, dst)
-    text = _RE_TRAILING_WS.sub("", text)
-    text = _RE_EXCESS_BLANK.sub("\n\n", text)
+    if _may_have_line_repeat(text):
+        text = _RE_LINE_REPEAT.sub(r"\1\n", text)
+    if not text.isascii():
+        # NFKC and the char map are both identity on pure ASCII
+        text = unicodedata.normalize("NFKC", text)
+        for src, dst in _UNICODE_MAP:
+            text = text.replace(src, dst)
+    # [ \t]+$ (MULTILINE) matches iff a space/tab sits right before a
+    # newline or at end-of-string
+    if " \n" in text or "\t\n" in text or text[-1:] in (" ", "\t"):
+        text = _RE_TRAILING_WS.sub("", text)
+    if "\n\n\n" in text:
+        text = _RE_EXCESS_BLANK.sub("\n\n", text)
     return text.strip()
 
 

@@ -42,6 +42,24 @@ class PdfError(ValueError):
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+# name token: run of bytes that are neither PDF whitespace nor delimiters
+# (exactly _WS + _DELIM — keep in sync)
+_NAME_TOK_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
+def _skip_ws_pos(d: bytes, i: int, n: int) -> int:
+    """Position-based whitespace/comment skip shared by the lexer and its
+    lookaheads — int indexing, no per-char slice allocation."""
+    while i < n:
+        c = d[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to EOL
+            j = d.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        else:
+            break
+    return i
 
 
 class _Lexer:
@@ -52,17 +70,7 @@ class _Lexer:
         self.pos = pos
 
     def skip_ws(self) -> None:
-        d, i, n = self.data, self.pos, len(self.data)
-        while i < n:
-            c = d[i : i + 1]
-            if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
-                i += 1
-            elif c == b"%":  # comment to EOL
-                j = d.find(b"\n", i)
-                i = n if j == -1 else j + 1
-            else:
-                break
-        self.pos = i
+        self.pos = _skip_ws_pos(self.data, self.pos, len(self.data))
 
     def peek(self, k: int = 1) -> bytes:
         return self.data[self.pos : self.pos + k]
@@ -72,18 +80,18 @@ class _Lexer:
         d, i = self.data, self.pos
         if i >= len(d):
             raise PdfError("unexpected EOF")
-        c = d[i : i + 1]
-        if c == b"<":
+        c = d[i]
+        if c == 0x3C:  # '<'
             if d[i + 1 : i + 2] == b"<":
                 return self._parse_dict()
             return self._parse_hex_string()
-        if c == b"(":
+        if c == 0x28:  # '('
             return self._parse_literal_string()
-        if c == b"/":
+        if c == 0x2F:  # '/'
             return self._parse_name()
-        if c == b"[":
+        if c == 0x5B:  # '['
             return self._parse_array()
-        if c.isdigit() or c in b"+-.":
+        if 0x30 <= c <= 0x39 or c in b"+-.":
             return self._parse_number_or_ref()
         if d.startswith(b"true", i):
             self.pos = i + 4
@@ -120,13 +128,9 @@ class _Lexer:
     def _parse_name(self) -> str:
         if self.peek() != b"/":
             raise PdfError("expected name token")
-        d, i = self.data, self.pos + 1
-        start = i
-        n = len(d)
-        while i < n and d[i : i + 1] not in _DELIM and d[i : i + 1] not in _WS:
-            i += 1
-        raw = d[start:i]
-        self.pos = i
+        m = _NAME_TOK_RE.match(self.data, self.pos + 1)
+        raw = m.group(0)
+        self.pos = m.end()
         # #xx hex escapes in names
         if b"#" in raw:
             raw = re.sub(
@@ -202,19 +206,18 @@ class _Lexer:
 
     def _parse_number_or_ref(self):
         d = self.data
+        n = len(d)
         m = _NUM_RE.match(d, self.pos)
         if not m:
             raise PdfError(f"bad number at {self.pos}")
         tok = m.group(0)
         # Lookahead for "gen R" => indirect reference
-        la = _Lexer(d, m.end())
-        la.skip_ws()
-        m2 = _NUM_RE.match(d, la.pos)
+        j = _skip_ws_pos(d, m.end(), n)
+        m2 = _NUM_RE.match(d, j)
         if m2 and b"." not in tok:
-            la2 = _Lexer(d, m2.end())
-            la2.skip_ws()
-            if d[la2.pos : la2.pos + 1] == b"R":
-                self.pos = la2.pos + 1
+            k = _skip_ws_pos(d, m2.end(), n)
+            if d[k : k + 1] == b"R":
+                self.pos = k + 1
                 return Ref(int(tok), int(m2.group(0)))
         self.pos = m.end()
         if b"." in tok:

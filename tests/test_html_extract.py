@@ -243,3 +243,19 @@ def test_pre_block_survives_classification():
     keep = classify_blocks(blocks, "layout")
     kept_kinds = {b.kind for b, k in zip(blocks, keep) if k}
     assert "pre" in kept_kinds
+
+
+class TestCollapseWsFastPath:
+    def test_fuzz_against_regex(self):
+        import random
+        import re
+
+        from smart_ocr_spark.kernel.html_extract import _WS_RE, _collapse_ws
+
+        rng = random.Random(42)
+        chars = "ab \t\r\n\f\v\xa0cdé漢  ."
+        for _ in range(30000):
+            s = "".join(
+                rng.choice(chars) for _ in range(rng.randrange(0, 30))
+            )
+            assert _collapse_ws(s) == _WS_RE.sub(" ", s).strip(), repr(s)

@@ -202,3 +202,45 @@ class TestPhantomImages:
     def test_blank_lines_collapsed(self):
         r = strip_phantom_images("A\n\n![x](phantom.png)\n\n\n\nB")
         assert "\n\n\n" not in r
+
+
+class TestGateEquivalence:
+    """The fast-path gates in normalize_generic must be byte-identical to
+    the ungated regex chain (kernel/normalize.py docstring contract)."""
+
+    @staticmethod
+    def _ungated(text: str) -> str:
+        import re
+        import unicodedata
+
+        from smart_ocr_spark.kernel import normalize as N
+
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
+        m = N._RE_MD_FENCE.match(text.strip())
+        if m:
+            text = m.group(1)
+        text = N._RE_LINE_REPEAT.sub(r"\1\n", text)
+        text = unicodedata.normalize("NFKC", text)
+        for s, d in N._UNICODE_MAP:
+            text = text.replace(s, d)
+        text = N._RE_TRAILING_WS.sub("", text)
+        text = N._RE_EXCESS_BLANK.sub("\n\n", text)
+        return text.strip()
+
+    def test_fuzz_against_ungated_chain(self):
+        import random
+
+        from smart_ocr_spark.kernel.normalize import normalize_generic
+
+        rng = random.Random(20260816)
+        atoms = [
+            "a", "b", " ", "\t", "\n", "\r", "\r\n", "‘", "“",
+            "—", "ﬁ", "\xa0", "x" * 25 + "\n", ("y" * 22 + "\n") * 6,
+            ("z" * 19 + "\n") * 6, "\n\n\n\n", " \n", "\t\n", "```\n",
+            "```markdown\n", "q \n", "  ", "word ",
+        ]
+        for _ in range(20000):
+            s = "".join(
+                rng.choice(atoms) for _ in range(rng.randrange(0, 12))
+            )
+            assert normalize_generic(s) == self._ungated(s), repr(s)
