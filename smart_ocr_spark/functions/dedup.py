@@ -130,6 +130,10 @@ def ngram_jaccard_pairs(
     shared counts → join per-doc set sizes (broadcast-able) → filter.
     At scale, run on LSH candidates instead of the full corpus.
     """
+    # NOT persisted: the exploded-shingle frame is tokens-scale (far
+    # larger than the corpus), so caching it costs more than the four
+    # map-only re-shingles it would save — measured slower at sf0.1 and
+    # a spill hazard at 100 TB
     sh = exploded_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # A shingle appearing in a single doc cannot contribute a pair:

@@ -98,6 +98,15 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
         )
         .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        # InferFiltersFromGenerate turns explode(udf_array) into a
+        # size(udf)>0 pre-filter that re-evaluates the Python UDF — every
+        # shingle/fan-out query paid the Arrow pass twice (visible as
+        # paired ArrowEvalPython nodes in PLANS.md). The inferred filter
+        # only prunes empty arrays, which explode drops anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
