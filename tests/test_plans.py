@@ -132,3 +132,20 @@ def test_repair_join_large_failure_fallback(spark):
     # planner may still pick one from size stats, but no Exchange may
     # repartition the corpus by url
     assert "Exchange hashpartitioning(url" not in plan, plan
+
+
+def test_fanout_udf_evaluated_once(spark):
+    """InferFiltersFromGenerate must stay excluded: it infers a
+    size(udf)>0 pre-filter from explode(udf_array) that re-evaluates the
+    Python UDF, doubling every fan-out Arrow pass (the filter only
+    prunes rows explode drops anyway).  Guard: the shingle UDF appears
+    in exactly as many ArrowEvalPython nodes as there are corpus scans
+    feeding the query — one evaluation per scan, never two."""
+    plan = plan_of(em.q_dedup_ngram_jaccard(spark, SF))
+    n_scans = plan.count("Scan parquet")
+    n_udf_nodes = plan.count("ArrowEvalPython")
+    assert n_udf_nodes == n_scans, (
+        f"{n_udf_nodes} ArrowEvalPython nodes for {n_scans} scans "
+        "(inferred generate filter is re-evaluating the UDF)\n" + plan
+    )
+    assert "size(pythonUDF" not in plan, plan
