@@ -96,6 +96,8 @@ _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});")
 
 def decode_entities(text: str) -> str:
     """Decode numeric and the common named HTML entities."""
+    if "&" not in text:  # the entity pattern cannot match without one
+        return text
 
     def _sub(m: re.Match) -> str:
         body = m.group(1)
