@@ -114,7 +114,7 @@ def decode_entities(text: str) -> str:
     return _ENTITY_RE.sub(_sub, text)
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     """Minimal DOM node. ``tag`` is None for text nodes."""
 
