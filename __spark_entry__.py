@@ -1004,6 +1004,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT, oracle-checked: the corpus rows that
+    survive near-dup removal — every doc in no pair, plus the minimum
+    id of each MinHash-LSH component (``functions.components.
+    canonical_docs``).  The oracle anti-joins the recursive-CTE
+    component table's non-canonical ids."""
+    from smart_ocr_spark.functions import components, dedup
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return components.canonical_docs(docs.select("doc_id", "lang"), pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
@@ -1057,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "dedup_components": q_dedup_components,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "dedup_keep_list": q_dedup_keep_list,
         "multimodal_meta": q_multimodal_meta,
         "text_winnow_fingerprint": q_text_winnow_fingerprint,
     }
@@ -1645,6 +1660,12 @@ WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 4) >= 0.8
         "dedup_minhash": _minhash_oracle(),
         "dedup_minhash_lsh_pairs": _minhash_lsh_pairs_oracle(),
         "dedup_components": _dedup_components_oracle(),
+        "dedup_keep_list": f"""
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_dedup_components_oracle()}) c
+  WHERE NOT c.is_canonical)
+""",
         # exact N^2 oracle is valid for the LSH-gated Spark plan: the
         # only >= 0.99 pairs are the scaled mirrors, whose buckets are
         # identical by scale-invariance (see q_dedup_embedding_neardup)
