@@ -500,6 +500,9 @@ def _decode_pdf_string(raw: bytes) -> str:
         )
 
 
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
 def interpret_content(content: bytes, font_map: dict[str, str] | None = None) -> list[TextRun]:
     """Execute the text operators of one page's content stream.
 
@@ -534,15 +537,15 @@ def interpret_content(content: bytes, font_map: dict[str, str] | None = None) ->
         lx.skip_ws()
         if lx.pos >= n:
             break
-        c = content[lx.pos : lx.pos + 1]
-        if c in b"/<([+-.0123456789" or c.isdigit():
+        c = content[lx.pos]
+        if c in b"/<([+-.0123456789":
             try:
                 operands.append(lx.parse_object())
             except PdfError:
                 lx.pos += 1
             continue
         # Operator token
-        m = re.match(rb"[A-Za-z'\"*]{1,3}", content[lx.pos : lx.pos + 3])
+        m = _OP_RE.match(content, lx.pos)
         if not m:
             lx.pos += 1
             operands = []
