@@ -80,6 +80,21 @@ def extract_payload_full(payload: bytes) -> dict:
             # the PDF signal set has no block-derived total_chars; the
             # repair loop's has-content gate needs a real value here
             out["total_chars"] = len(out["basic_text"])
+            if not out["has_tables"]:
+                # P10 columnar-numbers fallback (reference
+                # born_digital.py:415-447: find_tables() OR the
+                # single-token-line heuristic, applied PER PAGE — any
+                # page tripping it marks the doc).  Running it on the
+                # joined doc text would dilute a single table page's
+                # single-token ratio below 0.5 with prose from other
+                # pages and systematically under-detect.  PDF-only,
+                # like the reference: an HTML page's basic text can
+                # legitimately be single-token lines (nav menus, tag
+                # clouds) and HTML tables are detected structurally.
+                from smart_ocr_spark.kernel.assess import detect_columnar_numbers
+
+                if any(detect_columnar_numbers(pt) for pt in page_texts):
+                    out["has_tables"] = True
         else:
             html = payload.decode("utf-8", "replace")
             root = parse_html(html)
@@ -98,18 +113,6 @@ def extract_payload_full(payload: bytes) -> dict:
     except Exception as exc:  # malformed payloads must not kill the task
         out["parse_ok"] = False
         out["parse_error"] = f"{type(exc).__name__}: {exc}"
-    if out["parse_ok"] and out["is_pdf"] and not out["has_tables"]:
-        # P10 columnar-numbers fallback (reference born_digital.py:415-447:
-        # find_tables() OR the single-token-line heuristic): borderless
-        # whitespace-aligned PDF tables have no structural markers, so a
-        # text-side detector is the only thing that routes them HARD.
-        # PDF-ONLY, like the reference: an HTML page's basic text can
-        # legitimately be single-token lines (nav menus, tag clouds) and
-        # HTML tables are detected structurally.
-        from smart_ocr_spark.kernel.assess import detect_columnar_numbers
-
-        if detect_columnar_numbers(out["basic_text"]):
-            out["has_tables"] = True
     return out
 
 

@@ -38,12 +38,22 @@ _PATH_PAINT = {b"S", b"s", b"f", b"F", b"B", b"b", b"n"}
 # O9 timeout-guard analog (reference figures/extractor.py:108-125: a
 # 30s SIGALRM per page, and a page that trips it is SKIPPED entirely).
 # Signals don't work on executor worker threads, so the Spark-safe
-# equivalent is a deterministic work bound: cluster_boxes is O(n^2) in
-# collected boxes, and an adversarial page with tens of thousands of
-# paint ops would effectively hang the task.  A page that exceeds the
+# equivalent is a deterministic work bound.  A page that exceeds either
 # bound yields NO figures — exactly the reference's timeout semantics —
-# never a silently truncated subset.
-MAX_SCAN_BOXES_PER_PAGE = 512
+# never a silently truncated subset.  The box cap approximates the 30s
+# budget (a legitimate vector chart easily paints thousands of path
+# boxes and clusters in well under a second with the sweep below); the
+# pair-visit budget below bounds the clustering itself, so only
+# genuinely pathological pages are skipped.
+MAX_SCAN_BOXES_PER_PAGE = 20_000
+# cluster_boxes inner-loop visit budget: ~4M cheap visits is 1-2s of
+# Python — the deterministic stand-in for the reference's per-page 30s.
+MAX_CLUSTER_PAIR_VISITS = 4_000_000
+
+
+class ClusterBudgetExceeded(Exception):
+    """Raised when bbox clustering exceeds its deterministic work bound;
+    callers skip the page entirely (reference timeout semantics)."""
 
 Box = tuple[float, float, float, float]
 
@@ -146,8 +156,22 @@ def scan_page_boxes(
     return drawings, images, truncated
 
 
-def cluster_boxes(boxes: list[Box], gap: float = CLUSTER_GAP) -> list[Box]:
-    """Union-find on bbox proximity (extractor.py:351-413)."""
+def cluster_boxes(
+    boxes: list[Box],
+    gap: float = CLUSTER_GAP,
+    max_pair_visits: int = MAX_CLUSTER_PAIR_VISITS,
+) -> list[Box]:
+    """Union-find on bbox proximity (extractor.py:351-413).
+
+    Candidate pairs are pruned with an x-sweep: boxes sorted by x0, and
+    for each box only successors whose x0 is within ``x1 + gap`` are
+    visited — every pair farther apart in x has ``_gap > gap`` by
+    construction, so connectivity (and output) is identical to the full
+    O(n^2) scan while typical spread layouts cluster in ~O(n log n).
+    Pathological layouts (everything mutually x-overlapping) degrade
+    toward O(n^2); the visit budget bounds that deterministically and
+    raises :class:`ClusterBudgetExceeded` so the caller can skip the
+    page (O9 timeout semantics)."""
     n = len(boxes)
     parent = list(range(n))
 
@@ -157,12 +181,27 @@ def cluster_boxes(boxes: list[Box], gap: float = CLUSTER_GAP) -> list[Box]:
             i = parent[i]
         return i
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            if _gap(boxes[i], boxes[j]) <= gap:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[rj] = ri
+    order = sorted(range(n), key=lambda i: boxes[i][0])
+    visits = 0
+    for a in range(n):
+        i = order[a]
+        bi = boxes[i]
+        x_limit = bi[2] + gap
+        for b in range(a + 1, n):
+            j = order[b]
+            bj = boxes[j]
+            if bj[0] > x_limit:
+                break  # sorted by x0: no later box can be within gap of i
+            visits += 1
+            if visits > max_pair_visits:
+                raise ClusterBudgetExceeded(
+                    f"{visits} pair visits over {n} boxes (budget {max_pair_visits})"
+                )
+            ri, rj = find(i), find(j)
+            if ri == rj:
+                continue
+            if _gap(bi, bj) <= gap:
+                parent[rj] = ri
     merged: dict[int, Box] = {}
     for i, b in enumerate(boxes):
         r = find(i)
@@ -240,8 +279,12 @@ def doc_figures(payload: bytes, doc: "PdfDocument | None" = None) -> list[dict]:
         if truncated:
             # reference timeout semantics: the page yields NO figures
             continue
+        try:
+            clustered = cluster_boxes(drawings)
+        except ClusterBudgetExceeded:
+            continue  # O9: clustering budget tripped — skip the page
         page_count = 0
-        for kind, boxes in (("drawing", cluster_boxes(drawings)), ("image", images)):
+        for kind, boxes in (("drawing", clustered), ("image", images)):
             for box in boxes:
                 if page_count >= MAX_PER_PAGE or fig_num >= MAX_TOTAL:
                     break

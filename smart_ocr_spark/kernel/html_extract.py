@@ -164,15 +164,27 @@ def _find_tag_end(html: str, pos: int) -> int:
     if '"' not in seg and "'" not in seg:
         return gt
     quote = ""
+    prev = ""  # last non-whitespace char outside a quote
     while pos < n:
         c = html[pos]
         if quote:
             if c == quote:
                 quote = ""
+                prev = c
         elif c in "\"'":
-            quote = c
+            # HTML5: a quote only opens a quoted attribute VALUE when it
+            # follows '=' (optionally after whitespace).  A quote char
+            # inside an unquoted value (<a title=John's href=x>) is part
+            # of the value — treating it as an opener would hunt for a
+            # match past '>', return -1, and silently drop the rest of
+            # the document's text.
+            if prev == "=":
+                quote = c
+            prev = c
         elif c == ">":
             return pos
+        elif not c.isspace():
+            prev = c
         pos += 1
     return -1
 

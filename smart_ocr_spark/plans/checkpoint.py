@@ -38,6 +38,67 @@ from smart_ocr_spark.plans import extract_pipeline
 STATE_SUBDIR = "_extraction_state"
 RESULTS_SUBDIR = "results"
 BUCKET_COL = "part_bucket"
+LOCK_FILE = "_extraction_state.lock"
+
+
+class ConcurrentRunError(RuntimeError):
+    """A live run already owns this checkpoint directory."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _acquire_lock(out_dir: str) -> str:
+    """Single-writer advisory lock on the checkpoint directory.
+
+    The parquet dynamic-overwrite fallback is NOT safe under two
+    simultaneous writers of the SAME bucket partition (interleaved
+    delete+move can leave duplicate part files) — real Iceberg
+    ``MERGE INTO`` would serialize via optimistic snapshot commits
+    (SURVEY.md §7.2).  Until that jar exists, this is the reference's
+    single-writer ``metadata.json`` model (``metadata.py:48-56`` atomic
+    tmp-then-rename) made explicit: an O_EXCL lock file carrying the
+    owner pid.  A lock whose pid is dead (SIGKILLed run) is stolen —
+    exactly one stealer wins the subsequent O_EXCL create.  Holds on a
+    local/POSIX shared FS; object stores need the Iceberg path.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, LOCK_FILE)
+    for _ in range(8):  # bounded steal retries
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    owner = int(fh.read().split()[0])
+            except (OSError, ValueError, IndexError):
+                owner = None  # partially-written lock: treat as stale
+            if owner is not None and owner != os.getpid() and _pid_alive(owner):
+                raise ConcurrentRunError(
+                    f"checkpoint dir {out_dir} is locked by live pid {owner}"
+                )
+            try:
+                os.unlink(path)  # stale: dead owner or unreadable
+            except FileNotFoundError:
+                pass
+    raise ConcurrentRunError(f"could not acquire lock in {out_dir}")
+
+
+def _release_lock(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
 
 
 def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
@@ -80,7 +141,13 @@ def _results_path(out_dir: str) -> str:
 def load_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _state_path(out_dir)
     try:
-        return spark.read.parquet(path)
+        # mergeSchema: state rows are appended, so a state dir created
+        # before a schema addition (e.g. out_rows in round 2) mixes
+        # parquet footers.  Without merging, Spark samples ONE file's
+        # schema and reads can fail or silently drop the new column
+        # depending on which footer it picks.  The state table is tiny
+        # (one row per bucket per run), so the footer merge is free.
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None
 
@@ -127,9 +194,32 @@ def run_with_checkpoint(
     ``dry_run`` reports what WOULD be processed — pending buckets and
     their input row counts — without extracting or writing anything
     (reference orchestrator.py:171-178, F4).
+
+    Concurrency: non-dry runs take the single-writer lock (see
+    :func:`_acquire_lock`); a second simultaneous run raises
+    :class:`ConcurrentRunError` immediately instead of corrupting the
+    results partitions, and a lock left by a SIGKILLed run is stolen.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    lock = None if dry_run else _acquire_lock(out_dir)
+    try:
+        return _run_locked(
+            spark, documents, out_dir, n_buckets, max_buckets_this_run, dry_run
+        )
+    finally:
+        if lock is not None:
+            _release_lock(lock)
+
+
+def _run_locked(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    n_buckets: int,
+    max_buckets_this_run: int | None,
+    dry_run: bool,
+) -> dict:
     fps = bucket_fingerprints(documents, n_buckets)
     done = completed_buckets(spark, out_dir)
     if done is not None:

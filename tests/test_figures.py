@@ -115,13 +115,18 @@ def test_scan_boxes_bounded_on_adversarial_stream():
         scan_page_boxes,
     )
 
+    from smart_ocr_spark.kernel.figures import ClusterBudgetExceeded
+
     ops = b" ".join(
         b"%d %d 100 100 re f" % (i % 500, (i * 7) % 700)
-        for i in range(50_000)
+        for i in range(60_000)
     )
     t0 = time.perf_counter()
     drawings, images, truncated = scan_page_boxes(ops, set())
-    cluster_boxes(drawings)
+    try:
+        cluster_boxes(drawings)
+    except ClusterBudgetExceeded:
+        pass  # the pair budget is allowed to trip first on a dense page
     elapsed = time.perf_counter() - t0
     assert truncated, "work bound must trip on the adversarial page"
     assert len(drawings) <= MAX_SCAN_BOXES_PER_PAGE
@@ -147,9 +152,25 @@ def test_truncated_page_yields_no_figures():
 
     raw = " ".join(
         "%d %d 120 120 re f" % ((i * 13) % 400 + 80, (i * 29) % 500 + 120)
-        for i in range(2_000)
+        for i in range(30_000)
     )
     pdf = build_pdf(
         [[(72.0, 700.0, "text line")]], raw_page_prefix=[raw]
     )
     assert doc_figures(pdf) == []
+
+
+def test_dense_vector_chart_still_yields_figures():
+    """ADVICE r2: a legitimate vector chart paints thousands of path
+    boxes; the old 512-box cap silently dropped its figures.  With the
+    sweep-clustered kernel a 2k-box chart must produce figure rows."""
+    from smart_ocr_spark.kernel.figures import doc_figures
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    raw = " ".join(
+        "%d %d 60 60 re f" % ((i * 13) % 350 + 100, (i * 29) % 400 + 150)
+        for i in range(2_000)
+    )
+    pdf = build_pdf([[(72.0, 760.0, "text line")]], raw_page_prefix=[raw])
+    figs = [f for f in doc_figures(pdf) if f["figure_type"] == "drawing"]
+    assert figs, "dense-but-legitimate chart must not be skipped"

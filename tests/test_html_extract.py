@@ -196,6 +196,25 @@ def test_gt_inside_quoted_attribute():
     assert "Hello" in text and "world" in text
 
 
+def test_apostrophe_in_unquoted_attribute_value():
+    """ADVICE r2: <a title=John's href=x> — HTML5 treats the apostrophe
+    as part of the unquoted value.  Scanning it as a quote opener finds
+    no match, returns -1, and silently drops all remaining text."""
+    from smart_ocr_spark.kernel.html_extract import (
+        classify_blocks, parse_html, render_blocks, segment_blocks,
+    )
+
+    html = (
+        "<html><body><p>Before <a title=John's href=x>link text</a>"
+        " after</p><p>Tail paragraph survives the tag.</p></body></html>"
+    )
+    blocks = segment_blocks(parse_html(html))
+    text = render_blocks(blocks, classify_blocks(blocks, "basic"), "basic")
+    assert "Before" in text and "link text" in text and "after" in text
+    assert "Tail paragraph survives" in text
+    assert "href" not in text
+
+
 def test_optional_end_tags_table_grid():
     """HTML5 optional </td>/</tr>: rows must not nest into the previous
     cell."""
