@@ -1296,9 +1296,12 @@ FROM r WHERE rank <= 5
 
 
 # Winnowing fingerprint in pure SQL: k=5 char grams over whitespace-
-# stripped lower(text), big-endian md5 first-8-bytes gram hashes, w=4
-# sliding-window min (ROWS BETWEEN), distinct mins XOR-folded (bit_xor)
-# then >> 1 into a 63-bit BIGINT — matching _winnow_one exactly.
+# stripped lower(text); each gram hashed with a base-257 codepoint
+# polynomial (exact in 64 bits) + xorshift-multiply mixer replayed in
+# HUGEINT mod-2^64 arithmetic (multipliers < 2^62 keep z*M inside
+# HUGEINT range); w=4 sliding-window min (ROWS BETWEEN), distinct mins
+# XOR-folded (bit_xor) then >> 1 into a 63-bit BIGINT — matching
+# _winnow_one (functions/text_analysis.py) exactly.
 _WINNOW_SQL = """
 WITH s AS (
   SELECT doc_id,
@@ -1307,16 +1310,29 @@ WITH s AS (
   FROM documents),
 grams AS (
   SELECT doc_id, i,
-    ('0x' || substr(md5(substr(st, CAST(i AS INT), 5)), 1, 16))
-      ::UBIGINT::HUGEINT AS g,
+    (ascii(substr(st, CAST(i AS INT), 1))::UBIGINT * 4362470401
+     + ascii(substr(st, CAST(i+1 AS INT), 1))::UBIGINT * 16974593
+     + ascii(substr(st, CAST(i+2 AS INT), 1))::UBIGINT * 66049
+     + ascii(substr(st, CAST(i+3 AS INT), 1))::UBIGINT * 257
+     + ascii(substr(st, CAST(i+4 AS INT), 1))::UBIGINT) AS g0,
     count(*) OVER (PARTITION BY doc_id) AS n
   FROM s, unnest(generate_series(1, len(st) - 4)) AS t(i)
   WHERE len(st) >= 5),
+m1 AS (SELECT doc_id, i, n,
+  ((g0::HUGEINT + 11400714819323198485::HUGEINT)
+     % 18446744073709551616::HUGEINT)::UBIGINT AS z0 FROM grams),
+m2 AS (SELECT doc_id, i, n,
+  ((xor(z0, z0 >> 30)::HUGEINT * 4564476756301768121::HUGEINT)
+     % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM m1),
+m3 AS (SELECT doc_id, i, n,
+  ((xor(z1, z1 >> 27)::HUGEINT * 1499779743744070123::HUGEINT)
+     % 18446744073709551616::HUGEINT)::UBIGINT AS z2 FROM m2),
+mixed AS (SELECT doc_id, i, n, xor(z2, z2 >> 31)::HUGEINT AS g FROM m3),
 wins AS (
   SELECT doc_id, i, n,
     min(g) OVER (PARTITION BY doc_id ORDER BY i
                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
-  FROM grams),
+  FROM mixed),
 sel AS (SELECT DISTINCT doc_id, mn FROM wins WHERE i <= greatest(n - 3, 1)),
 folded AS (
   SELECT doc_id, CAST(bit_xor(mn) >> 1 AS BIGINT) AS winnow_fp

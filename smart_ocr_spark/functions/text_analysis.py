@@ -15,7 +15,9 @@ no shuffle, filters push down to the parquet scan.
 from __future__ import annotations
 
 import hashlib
+import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType
@@ -204,34 +206,65 @@ _WINNOW_K = 5  # k-gram length (chars)
 _WINNOW_W = 4  # window size
 
 
+# Gram hash = codepoint polynomial (base 257, exact in 64 bits: max
+# codepoint 0x10FFFF x 257^4 x 5 terms ~ 2.4e16) followed by a
+# splitmix64-style xorshift-multiply mixer for uniformity.  Multipliers
+# are kept below 2^62 so the SQL mirror's HUGEINT products
+# (z < 2^64 times M) stay inside HUGEINT range — mod-2^64 wraparound is
+# then one `% 2^64`, matching numpy's native uint64 wrap.
+_POLY_B = 257
+_MIX_C0 = 0x9E3779B97F4A7C15  # additive offset (golden-ratio constant)
+_MIX_M1 = 0x3F58476D1CE4E5B9  # < 2^62, odd -> bijective mod 2^64
+_MIX_M2 = 0x14D049BB133111EB  # < 2^62, odd
+_WS_STRIP_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+from numpy.lib.stride_tricks import sliding_window_view as _sliding_window_view
+
+# precomputed uint64 scalars: keeps the per-document hot path free of
+# Python int -> np.uint64 conversions (short web docs are overhead-bound)
+_POWS = [np.uint64(_POLY_B ** (_WINNOW_K - 1 - j)) for j in range(_WINNOW_K)]
+_POW0 = _POWS[0]
+_MIX_C0_U = np.uint64(_MIX_C0)
+_MIX_M1_U = np.uint64(_MIX_M1)
+_MIX_M2_U = np.uint64(_MIX_M2)
+_SH30, _SH27, _SH31 = np.uint64(30), np.uint64(27), np.uint64(31)
+
+
 def _winnow_one(text: str) -> int:
     """Winnowing (Schleimer et al., SIGMOD'03): min hash per sliding
     window of k-gram hashes, XOR-folded to one 63-bit fingerprint.
     Whitespace stripping uses the pinned ASCII class (str.split() is
     Unicode-aware and would diverge from the tokenizer contract).
-    The fold is a plain XOR of the selected gram hashes — they are
-    md5-derived (already uniform), and plain XOR keeps the whole
-    fingerprint exactly reproducible in SQL (bit_xor aggregate) for
-    the DuckDB correctness oracle."""
-    import re
 
-    s = re.sub(r"[ \t\n\x0b\f\r]+", "", (text or "").lower())
+    The k-gram hash is a base-257 codepoint polynomial passed through a
+    xorshift-multiply mixer — fully vectorized in numpy uint64 (one
+    md5 call per CHARACTER in the previous version was the most
+    expensive per-byte text kernel in the repo, VERDICT r2 #8) and
+    exactly reproducible in SQL (ascii()/HUGEINT mod-2^64 arithmetic)
+    for the DuckDB correctness oracle.  The fold stays a plain XOR of
+    the distinct selected gram hashes (bit_xor aggregate in SQL)."""
+    s = _WS_STRIP_RE.sub("", (text or "").lower())
     if len(s) < _WINNOW_K:
         h = hashlib.md5(s.encode("utf-8")).digest()
         return int.from_bytes(h[:8], "big") >> 1
-    grams = [
-        int.from_bytes(
-            hashlib.md5(s[i : i + _WINNOW_K].encode("utf-8")).digest()[:8], "big"
-        )
-        for i in range(len(s) - _WINNOW_K + 1)
-    ]
-    selected: set[int] = set()
-    for i in range(max(len(grams) - _WINNOW_W + 1, 1)):
-        selected.add(min(grams[i : i + _WINNOW_W]))
-    fp = 0
-    for g in selected:
-        fp ^= g
-    return fp >> 1
+    # one explicit upcast: numpy 1.x value-based casting would keep
+    # uint32 for small-scalar products and silently truncate codepoints
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    ng = len(cp) - _WINNOW_K + 1
+    z = cp[0:ng] * _POW0
+    for j in range(1, _WINNOW_K):
+        z += cp[j : j + ng] * _POWS[j]
+    z += _MIX_C0_U
+    z ^= z >> _SH30
+    z *= _MIX_M1_U
+    z ^= z >> _SH27
+    z *= _MIX_M2_U
+    z ^= z >> _SH31
+    if ng >= _WINNOW_W:
+        mins = _sliding_window_view(z, _WINNOW_W).min(axis=1)
+    else:
+        mins = z.min(keepdims=True)
+    return int(np.bitwise_xor.reduce(np.unique(mins))) >> 1
 
 
 @F.pandas_udf(LongType())

@@ -85,16 +85,29 @@ WITH s AS (SELECT regexp_replace(lower(coalesce(?, '')),
                   '[ \\t\\n\\x0b\\f\\r]+', '', 'g') AS st),
 grams AS (
   SELECT i,
-    ('0x' || substr(md5(substr(st, CAST(i AS INT), 5)), 1, 16))
-      ::UBIGINT::HUGEINT AS g,
+    (ascii(substr(st, CAST(i AS INT), 1))::UBIGINT * 4362470401
+     + ascii(substr(st, CAST(i+1 AS INT), 1))::UBIGINT * 16974593
+     + ascii(substr(st, CAST(i+2 AS INT), 1))::UBIGINT * 66049
+     + ascii(substr(st, CAST(i+3 AS INT), 1))::UBIGINT * 257
+     + ascii(substr(st, CAST(i+4 AS INT), 1))::UBIGINT) AS g0,
     count(*) OVER () AS n
   FROM s, unnest(generate_series(1, len(st) - 4)) AS t(i)
   WHERE len(st) >= 5),
+m1 AS (SELECT i, n,
+  ((g0::HUGEINT + 11400714819323198485::HUGEINT)
+     % 18446744073709551616::HUGEINT)::UBIGINT AS z0 FROM grams),
+m2 AS (SELECT i, n,
+  ((xor(z0, z0 >> 30)::HUGEINT * 4564476756301768121::HUGEINT)
+     % 18446744073709551616::HUGEINT)::UBIGINT AS z1 FROM m1),
+m3 AS (SELECT i, n,
+  ((xor(z1, z1 >> 27)::HUGEINT * 1499779743744070123::HUGEINT)
+     % 18446744073709551616::HUGEINT)::UBIGINT AS z2 FROM m2),
+mixed AS (SELECT i, n, xor(z2, z2 >> 31)::HUGEINT AS g FROM m3),
 wins AS (
   SELECT i, n,
     min(g) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
       AS mn
-  FROM grams),
+  FROM mixed),
 sel AS (SELECT DISTINCT mn FROM wins WHERE i <= greatest(n - 3, 1)),
 folded AS (SELECT CAST(bit_xor(mn) >> 1 AS BIGINT) AS fp FROM sel),
 short AS (
