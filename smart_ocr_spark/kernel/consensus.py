@@ -48,3 +48,71 @@ def find_discrepancies(attempts: list[dict]) -> list[str]:
         )
 
     return discs
+
+
+def select_best(attempts: list[dict], reference_text: str = "") -> dict:
+    """Heuristic consensus selection (reference consensus.py:337-417
+    ``ConsensusEngine.select_best``), kernel form.
+
+    ``attempts`` rows need ``variant``, ``text``, ``status``,
+    ``audit_passed``, ``word_count``, ``confidence``.  Returns
+    ``{selected_variant, merged_text, agreement_score, discrepancies}``.
+
+    Flow mirrors the reference exactly: empty input -> sentinel "none";
+    viable = non-empty text and status != "error"; none viable -> first
+    attempt's text as last resort with the canonical discrepancy note;
+    single viable -> agreement 1.0; else grounded/ungrounded scoring
+    (kernel.score.score_attempt) with a STABLE descending sort (score
+    ties keep attempt order, like the reference's list.sort).
+    """
+    from smart_ocr_spark.kernel import score as score_kernel
+
+    if not attempts:
+        return {
+            "selected_variant": "none",
+            "merged_text": "",
+            "agreement_score": 0.0,
+            "discrepancies": [],
+        }
+    viable = [
+        a for a in attempts
+        if (a["text"] or "").strip() and a.get("status") != "error"
+    ]
+    if not viable:
+        return {
+            "selected_variant": attempts[0]["variant"],
+            "merged_text": attempts[0]["text"] or "",
+            "agreement_score": 0.0,
+            "discrepancies": ["All attempts failed or produced empty output"],
+        }
+    if len(viable) == 1:
+        a = viable[0]
+        return {
+            "selected_variant": a["variant"],
+            "merged_text": a["text"],
+            "agreement_score": 1.0,
+            "discrepancies": [],
+        }
+    scored = [
+        (
+            a,
+            score_kernel.score_attempt(
+                a["text"] or "",
+                bool(a["audit_passed"]),
+                int(a["word_count"] or 0),
+                float(a.get("confidence") or 0.0),
+                reference_text,
+            ),
+        )
+        for a in viable
+    ]
+    scored.sort(key=lambda x: x[1], reverse=True)  # stable: ties keep order
+    best = scored[0][0]
+    return {
+        "selected_variant": best["variant"],
+        "merged_text": best["text"],
+        "agreement_score": score_kernel.pairwise_agreement(
+            [a["text"] for a in viable]
+        ),
+        "discrepancies": find_discrepancies(viable),
+    }

@@ -55,10 +55,12 @@ def candidates(tried: set[str], chain: list[str] | None = None) -> list[str]:
     return [v for v in source if v not in tried]
 
 
-def _pick_different_family(tried: set[str], cands: list[str]) -> str:
-    tried_families = {FAMILIES.get(v) for v in tried} - {None}
+def _pick_different_family(
+    tried: set[str], cands: list[str], families: dict[str, str]
+) -> str:
+    tried_families = {families.get(v) for v in tried} - {None}
     for v in cands:
-        fam = FAMILIES.get(v)
+        fam = families.get(v)
         if fam and fam not in tried_families:
             return v
     return cands[0]
@@ -78,6 +80,10 @@ def select_repair_variant(
     last_variant: str | None = None,
     last_variant_runs: int = 1,
     truncation_retries: int = TRUNCATION_RETRIES,
+    families: dict[str, str] | None = None,
+    cloud: "set[str] | None" = None,
+    light: "list[str] | None" = None,
+    capable: "list[str] | None" = None,
 ) -> str | None:
     """Policy table (reference repair.py:109-136):
 
@@ -94,7 +100,17 @@ def select_repair_variant(
     retry only makes sense for NONDETERMINISTIC engines; callers running
     deterministic in-process kernels pass ``truncation_retries=0`` (a
     same-variant retry would reproduce byte-identical output).
+
+    The policy is TABLE-GENERIC: ``families``/``cloud``/``light``/
+    ``capable`` default to the kernel-variant tables above, but the
+    reference-test replay harness injects the reference's ENGINE tables
+    (repair.py:19-53) and runs its full routing matrix through this very
+    function — the algorithm, not just the tables, is what parity pins.
     """
+    families = FAMILIES if families is None else families
+    cloud = CLOUD_VARIANTS if cloud is None else cloud
+    light = LIGHT_VARIANTS if light is None else light
+    capable = CAPABLE_VARIANTS if capable is None else capable
     cands = candidates(tried, chain)
     if (
         failure_mode == audit.TRUNCATED
@@ -109,14 +125,42 @@ def select_repair_variant(
     if not cands:
         return None
     if failure_mode == audit.HALLUCINATION:
-        return _pick_different_family(tried, cands)
+        return _pick_different_family(tried, cands, families)
     if failure_mode == audit.REFUSAL:
-        return _pick_first_in(CLOUD_VARIANTS, cands)
+        return _pick_first_in(cloud, cands)
     if failure_mode in (audit.GARBAGE, audit.LOW_WORD_COUNT, audit.TRUNCATED):
-        return _pick_first_in(CAPABLE_VARIANTS, cands)
+        return _pick_first_in(capable, cands)
     if failure_mode == audit.TIMEOUT:
-        return _pick_first_in(LIGHT_VARIANTS, cands)
+        return _pick_first_in(light, cands)
     return cands[0]
+
+
+def page_needs_repair(
+    is_born_digital: bool,
+    native_text: str | None,
+    needs_ocr_enhancement: bool,
+    n_attempts: int,
+    best_passed: bool | None,
+) -> bool:
+    """Page-grain needs-repair predicate (reference state.py:37-57).
+
+    ``best_passed`` is None when no best output exists yet.  Born-digital
+    prose pages with native text never need repair; enhancement pages
+    want one OCR attempt then fall back to native (anti-infinite-loop);
+    otherwise a page needs repair until a passing best output exists.
+    The document-grain pipeline fuses this into
+    ``operators.extract.needs_repair_col``; this scalar form is the
+    per-page contract the reference router tests replay.
+    """
+    if is_born_digital and native_text:
+        if needs_ocr_enhancement:
+            if best_passed:
+                return False  # OCR succeeded
+            if n_attempts > 0:
+                return False  # OCR tried and failed; native is fallback
+            return True  # no OCR attempted yet: request it
+        return False
+    return best_passed is None or not best_passed
 
 
 def dominant_failure(attempt_failures: list[str]) -> str:

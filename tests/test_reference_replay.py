@@ -1,13 +1,32 @@
-"""Replay the reference's OWN test matrix against our kernels.
+"""Replay the reference's OWN test matrices against our kernels.
 
 The manual parity suites (test_normalize.py etc.) mirror the reference
-tests by hand; this harness removes the transcription risk for the one
-module with a clean functional seam: every test body in the reference's
-``tests/test_normalizer.py`` whose only dependency is the ``_n(text,
-engine)`` helper is executed VERBATIM with ``_n`` bound to our
-``kernel.normalize.normalize``.  Tests that touch reference-only
-classes (OutputNormalizer internals, filesystem fixtures) raise
-non-assertion errors and are counted as skipped.
+tests by hand; this harness removes the transcription risk: reference
+test bodies are executed VERBATIM (AST-extracted, compiled as-is) with
+the reference's class/function names bound to SHIMS that delegate every
+decision to our kernels:
+
+  * test_normalizer.py        -> kernel.normalize.normalize
+  * test_audit_heuristics.py  -> kernel.audit.check
+  * test_chunker.py           -> kernel.chunk (+ kernel.pdf_extract to
+                                 re-read the chunk PDFs we write)
+  * test_repair_router.py     -> kernel.repair.select_repair_variant
+                                 (reference ENGINE tables injected),
+                                 page_needs_repair, dominant_failure
+  * test_consensus.py         -> kernel.score.* + kernel.consensus.
+                                 select_best / find_discrepancies
+
+Shims contain structure only (dataclasses, enum names, config plumbing)
+— never policy: scoring, routing, thresholds, and selection all resolve
+into `smart_ocr_spark.kernel`.  Reference module-level helper functions
+(_make_state, _create_pdf, ...) are themselves exec'd verbatim from the
+reference file so even the fixture construction is untranscribed.
+
+Tests that touch reference-only machinery (subprocess engines, Ollama
+mocks via unittest.mock.patch on socr module paths, rich UI) raise
+non-assertion errors and are counted as skipped; each replay asserts a
+minimum verbatim-passed floor so the functional subset cannot silently
+shrink.
 
 Skips cleanly when the reference checkout is absent (the repo must
 remain standalone).
@@ -16,25 +35,171 @@ remain standalone).
 from __future__ import annotations
 
 import ast
+import enum
+import math
 import os
 import re
+import tempfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from unittest.mock import patch
 
 import pytest
 
-REF_TESTS = "/root/reference/tests/test_normalizer.py"
+REF_TESTS_DIR = "/root/reference/tests"
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_TESTS), reason="reference checkout not present"
+    not os.path.isdir(REF_TESTS_DIR), reason="reference checkout not present"
 )
 
 
-def _collect_cases():
-    tree = ast.parse(open(REF_TESTS).read())
-    return [
-        node
-        for node in ast.walk(tree)
-        if isinstance(node, ast.FunctionDef) and node.name.startswith("test")
-    ]
+def _ref(name: str) -> str:
+    return os.path.join(REF_TESTS_DIR, name)
+
+
+def _replay(path: str, namespace: dict, per_test_tmp: bool = False):
+    """Exec every reference test body verbatim under ``namespace``.
+
+    Module-level non-test helper functions from the reference file are
+    exec'd first (verbatim) so fixtures build through the same shims.
+    Returns (passed, failures, skipped)."""
+    tree = ast.parse(open(path).read())
+    base = dict(namespace)
+    base.setdefault("self", None)
+    base.setdefault("pytest", pytest)
+    base.setdefault("Path", Path)
+    base.setdefault("patch", patch)
+    base.setdefault("re", re)
+    base.setdefault("math", math)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and not node.name.startswith("test"):
+            mod = ast.Module(body=[node], type_ignores=[])
+            exec(compile(mod, f"<ref-helper:{node.name}>", "exec"), base)
+    # caller shims take precedence over same-named reference helpers
+    # (test_normalizer.py defines its own `_n` that imports socr)
+    base.update(namespace)
+    passed, failures, skipped = 0, [], []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.FunctionDef) and node.name.startswith("test")):
+            continue
+        ns = dict(base)
+        if per_test_tmp:
+            ns["tmp_path"] = Path(tempfile.mkdtemp(prefix="refreplay_"))
+        body = ast.Module(body=node.body, type_ignores=[])
+        code = compile(body, f"<ref:{node.name}>", "exec")
+        try:
+            exec(code, ns)
+            passed += 1
+        except AssertionError as e:
+            failures.append((node.name, str(e)[:200]))
+        except Exception as e:  # reference-only machinery
+            skipped.append((node.name, f"{type(e).__name__}: {e}"[:120]))
+    return passed, failures, skipped
+
+
+# ---------------------------------------------------------------------------
+# Shared shim dataclasses/enums (structure only — no policy)
+# ---------------------------------------------------------------------------
+
+
+class PageStatus(str, enum.Enum):
+    PENDING = "pending"
+    SUCCESS = "success"
+    ERROR = "error"
+
+
+class DocumentStatus(str, enum.Enum):
+    PENDING = "pending"
+    SUCCESS = "success"
+    ERROR = "error"
+
+
+class FailureMode(str, enum.Enum):
+    # values are exactly our kernel.audit string constants
+    NONE = "none"
+    TIMEOUT = "timeout"
+    CLI_ERROR = "cli_error"
+    EMPTY_OUTPUT = "empty_output"
+    API_ERROR = "api_error"
+    MODEL_UNAVAILABLE = "model_unavailable"
+    AUDIT_FAILED = "audit_failed"
+    HALLUCINATION = "hallucination"
+    REFUSAL = "refusal"
+    GARBAGE = "garbage"
+    LOW_WORD_COUNT = "low_word_count"
+    TRUNCATED = "truncated"
+
+
+@dataclass
+class PageOutput:
+    page_num: int
+    text: str = ""
+    status: PageStatus = PageStatus.PENDING
+    failure_mode: FailureMode = FailureMode.NONE
+    engine: str = ""
+    processing_time: float = 0.0
+    error: str = ""
+    confidence: float = 0.0
+    figures: list = field(default_factory=list)
+    audit_passed: bool = True
+    audit_notes: list = field(default_factory=list)
+    escalated_from: str = ""
+
+    @property
+    def word_count(self) -> int:
+        return len(self.text.split()) if self.text else 0
+
+
+@dataclass
+class EngineResult:
+    document_path: Path
+    engine: str
+    status: DocumentStatus
+    pages: list = field(default_factory=list)
+
+
+@dataclass
+class DocumentHandle:
+    path: Path
+    page_count: int = 0
+
+    def __post_init__(self) -> None:  # patched away by reference helpers
+        pass
+
+
+class PageState:
+    def __init__(self, page_num: int):
+        self.page_num = page_num
+        self.is_born_digital = False
+        self.native_text = None
+        self.needs_ocr_enhancement = False
+        self.attempts: list[PageOutput] = []
+        self.best_output: PageOutput | None = None
+
+    @property
+    def needs_repair(self) -> bool:
+        from smart_ocr_spark.kernel.repair import page_needs_repair
+
+        return page_needs_repair(
+            self.is_born_digital,
+            self.native_text,
+            self.needs_ocr_enhancement,
+            len(self.attempts),
+            None if self.best_output is None else self.best_output.audit_passed,
+        )
+
+
+class DocumentState:
+    def __init__(self, handle: DocumentHandle):
+        self.handle = handle
+        self.pages = {
+            i: PageState(page_num=i) for i in range(1, handle.page_count + 1)
+        }
+
+
+# ---------------------------------------------------------------------------
+# 1. Normalizer replay (round 2)
+# ---------------------------------------------------------------------------
 
 
 def test_reference_normalizer_matrix_passes_verbatim():
@@ -43,17 +208,466 @@ def test_reference_normalizer_matrix_passes_verbatim():
     def _n(text, engine=""):
         return normalize(text, engine)
 
-    passed, failures, skipped = 0, [], 0
-    for node in _collect_cases():
-        body = ast.Module(body=node.body, type_ignores=[])
-        code = compile(body, f"<ref:{node.name}>", "exec")
-        try:
-            exec(code, {"_n": _n, "re": re, "self": None})
-            passed += 1
-        except AssertionError as e:
-            failures.append((node.name, str(e)[:200]))
-        except Exception:
-            skipped += 1  # reference-only classes/fixtures
+    passed, failures, skipped = _replay(_ref("test_normalizer.py"), {"_n": _n})
     assert not failures, failures
     # the functional subset must not silently shrink (42 at last audit)
-    assert passed >= 42, f"only {passed} reference cases ran ({skipped} skipped)"
+    assert passed >= 42, f"only {passed} reference cases ran ({len(skipped)} skipped)"
+
+
+# ---------------------------------------------------------------------------
+# 2. Audit heuristics replay
+# ---------------------------------------------------------------------------
+
+
+def test_reference_audit_heuristics_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import audit as audit_kernel
+
+    @dataclass
+    class AuditMetric:
+        name: str
+        passed: bool
+        severity: str
+
+    class _Result:
+        def __init__(self, check: dict):
+            self.passed = check["audit_passed"]
+            failed = set(check["errors"]) | set(check["warnings"])
+            self.metrics = [
+                AuditMetric(name=n, passed=False, severity="error")
+                for n in check["errors"]
+            ] + [
+                AuditMetric(name=n, passed=False, severity="warning")
+                for n in check["warnings"]
+            ]
+            # always-present informational metrics (reference adds Word
+            # count / Garbage ratio / Has structure rows unconditionally)
+            for name in ("Word count", "Garbage ratio", "Has structure"):
+                if name not in failed:
+                    self.metrics.append(
+                        AuditMetric(name=name, passed=True, severity="info")
+                    )
+
+    class HeuristicsChecker:
+        def __init__(
+            self,
+            min_word_count: int = audit_kernel.DEFAULT_MIN_WORD_COUNT,
+            max_garbage_ratio: float = audit_kernel.DEFAULT_MAX_GARBAGE_RATIO,
+        ):
+            self.min_word_count = min_word_count
+            self.max_garbage_ratio = max_garbage_ratio
+
+        def check(self, text: str, expected_pages: int = 0) -> _Result:
+            return _Result(
+                audit_kernel.check(
+                    text,
+                    expected_pages=expected_pages,
+                    min_word_count=self.min_word_count,
+                    max_garbage_ratio=self.max_garbage_ratio,
+                )
+            )
+
+    passed, failures, skipped = _replay(
+        _ref("test_audit_heuristics.py"),
+        {
+            "HeuristicsChecker": HeuristicsChecker,
+            "PageOutput": PageOutput,
+            "PageStatus": PageStatus,
+        },
+    )
+    assert not failures, failures
+    # 2 of 3 run (the third is PageOutput.needs_reprocessing state logic,
+    # which our PageOutput shim deliberately does not provide)
+    assert passed >= 2, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# 3. Chunker replay
+# ---------------------------------------------------------------------------
+
+
+def _fitz_shim():
+    """Minimal fitz stand-in: writes PDFs via our synthetic builder and
+    reads them back through our own PDF kernel, so 'chunk PDFs are valid
+    and hold the right pages' is checked against kernel.pdf_extract."""
+    from smart_ocr_spark.kernel.pdf_extract import extract_pdf
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    class _WriterPage:
+        def __init__(self):
+            self.runs: list[tuple[float, float, str]] = []
+
+        def insert_text(self, pos, text):
+            x, _y = pos
+            self.runs.append((float(x), 700.0, str(text)))
+
+    class _Doc:
+        def __init__(self, path=None):
+            self._writer_pages: list[_WriterPage] = []
+            self._page_texts = None
+            if path is not None:
+                _, signals = extract_pdf(Path(path).read_bytes(), "basic")
+                self._page_texts = signals["page_texts"]
+
+        def new_page(self, width=612, height=792):
+            p = _WriterPage()
+            self._writer_pages.append(p)
+            return p
+
+        def save(self, path):
+            pages = [
+                p.runs if p.runs else [(72.0, 700.0, "")]
+                for p in self._writer_pages
+            ]
+            Path(path).write_bytes(build_pdf(pages))
+
+        def close(self):
+            pass
+
+        def __len__(self):
+            if self._page_texts is not None:
+                return len(self._page_texts)
+            return len(self._writer_pages)
+
+        def __getitem__(self, i):
+            text = self._page_texts[i]
+
+            class _RPage:
+                def get_text(self, *a):
+                    return text
+
+            return _RPage()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Fitz:
+        @staticmethod
+        def open(path=None):
+            return _Doc(None if path is None else str(path))
+
+    return _Fitz()
+
+
+def test_reference_chunker_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import chunk as chunk_kernel
+    from smart_ocr_spark.kernel.pdf_extract import extract_pdf
+
+    @dataclass
+    class PDFChunk:
+        chunk_num: int
+        start_page: int
+        end_page: int
+        page_count: int
+        path: Path
+
+    class PDFChunker:
+        def __init__(self, max_pages_per_chunk: int = 20):
+            if max_pages_per_chunk < 1:
+                raise ValueError("max_pages_per_chunk must be >= 1")
+            self.max_pages_per_chunk = max_pages_per_chunk
+
+        @staticmethod
+        def _pages(pdf_path) -> list[str]:
+            _, signals = extract_pdf(Path(pdf_path).read_bytes(), "basic")
+            return signals["page_texts"]
+
+        def needs_chunking(self, pdf_path, threshold: int | None = None) -> bool:
+            return chunk_kernel.needs_chunking(
+                len(self._pages(pdf_path)),
+                threshold=threshold,
+                max_pages_per_chunk=self.max_pages_per_chunk,
+            )
+
+        def chunk(self, pdf_path, out_dir) -> list[PDFChunk]:
+            from smart_ocr_spark.sources.corpus import build_pdf
+
+            page_texts = self._pages(pdf_path)
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            stem = Path(pdf_path).stem
+            chunks = []
+            for num, start, end in chunk_kernel.chunk_ranges(
+                len(page_texts), self.max_pages_per_chunk
+            ):
+                path = out_dir / f"{stem}_chunk{num:03d}.pdf"
+                pages = [
+                    [(72.0, 700.0, page_texts[p - 1].strip() or "")]
+                    for p in range(start, end + 1)
+                ]
+                path.write_bytes(build_pdf(pages))
+                chunks.append(
+                    PDFChunk(
+                        chunk_num=num,
+                        start_page=start,
+                        end_page=end,
+                        page_count=end - start + 1,
+                        path=path,
+                    )
+                )
+            return chunks
+
+    passed, failures, skipped = _replay(
+        _ref("test_chunker.py"),
+        {"fitz": _fitz_shim(), "PDFChunk": PDFChunk, "PDFChunker": PDFChunker},
+        per_test_tmp=True,
+    )
+    assert not failures, failures
+    assert passed >= 16, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# 4. Repair router replay (reference ENGINE tables injected into our policy)
+# ---------------------------------------------------------------------------
+
+
+class EngineType(str, enum.Enum):
+    # reference core/config.py:10-27 declaration order (list(EngineType)
+    # drives candidate ordering via enabled_engines)
+    AUTO = "auto"
+    NOUGAT = "nougat"
+    DEEPSEEK = "deepseek"
+    MISTRAL = "mistral"
+    GEMINI = "gemini"
+    MARKER = "marker"
+    GLM = "glm"
+    DEEPSEEK_VLLM = "deepseek-vllm"
+    VLLM = "vllm"
+
+
+# reference pipeline/repair.py:19-53 tables, keyed by engine value string
+_REF_FAMILIES = {
+    "deepseek": "deepseek",
+    "deepseek-vllm": "deepseek",
+    "gemini": "google",
+    "mistral": "mistral",
+    "nougat": "meta",
+    "marker": "meta",
+    "glm": "local",
+    "vllm": "local",
+}
+_REF_CLOUD = {"gemini", "mistral", "deepseek"}
+_REF_LIGHT = ["glm", "nougat", "marker"]
+_REF_CAPABLE = ["gemini", "mistral", "deepseek", "deepseek-vllm"]
+
+
+def test_reference_repair_router_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import repair as repair_kernel
+
+    @dataclass
+    class PipelineConfig:
+        primary_engine: EngineType = EngineType.DEEPSEEK
+        fallback_chain: list = field(default_factory=list)
+        enabled_engines: list = field(default_factory=list)
+
+    @dataclass
+    class PageRepair:
+        page_num: int
+        engine: EngineType
+        reason: str
+
+    @dataclass
+    class RepairPlan:
+        repairs: list = field(default_factory=list)
+        pages_skipped: list = field(default_factory=list)
+
+        @property
+        def by_engine(self):
+            groups = {}
+            for r in self.repairs:
+                groups.setdefault(r.engine, []).append(r)
+            return groups
+
+        @property
+        def is_empty(self):
+            return len(self.repairs) == 0
+
+    class RepairRouter:
+        def __init__(self, config: PipelineConfig):
+            self.config = config
+
+        def _full_chain(self) -> list[EngineType]:
+            seen, out = set(), []
+            for e in [
+                *self.config.fallback_chain,
+                self.config.primary_engine,
+                *self.config.enabled_engines,
+            ]:
+                if e not in seen:
+                    out.append(e)
+                    seen.add(e)
+            return out
+
+        def pages_needing_repair(self, state):
+            return [
+                (n, ps)
+                for n, ps in sorted(state.pages.items())
+                if ps.needs_repair  # -> kernel.repair.page_needs_repair
+            ]
+
+        def select_repair_engine(self, failure_mode, tried_engines):
+            picked = repair_kernel.select_repair_variant(
+                failure_mode.value,
+                {e.value for e in tried_engines},
+                chain=[e.value for e in self._full_chain()],
+                families=_REF_FAMILIES,
+                cloud=_REF_CLOUD,
+                light=_REF_LIGHT,
+                capable=_REF_CAPABLE,
+            )
+            return None if picked is None else EngineType(picked)
+
+        def plan_repairs(self, state, config=None):
+            plan = RepairPlan()
+            for page_num, ps in self.pages_needing_repair(state):
+                failure = repair_kernel.dominant_failure(
+                    [a.failure_mode.value for a in ps.attempts]
+                )
+                tried = {
+                    EngineType(a.engine)
+                    for a in ps.attempts
+                    if a.engine in EngineType._value2member_map_
+                }
+                engine = self.select_repair_engine(FailureMode(failure), tried)
+                if engine is None:
+                    plan.pages_skipped.append(page_num)
+                else:
+                    plan.repairs.append(
+                        PageRepair(
+                            page_num=page_num,
+                            engine=engine,
+                            reason=repair_kernel.build_reason(
+                                failure,
+                                {e.value for e in tried},
+                                engine.value,
+                            ),
+                        )
+                    )
+            return plan
+
+    passed, failures, skipped = _replay(
+        _ref("test_repair_router.py"),
+        {
+            "EngineType": EngineType,
+            "PipelineConfig": PipelineConfig,
+            "DocumentHandle": DocumentHandle,
+            "FailureMode": FailureMode,
+            "PageOutput": PageOutput,
+            "PageStatus": PageStatus,
+            "DocumentState": DocumentState,
+            "PageState": PageState,
+            "PageRepair": PageRepair,
+            "RepairPlan": RepairPlan,
+            "RepairRouter": RepairRouter,
+        },
+    )
+    assert not failures, failures
+    assert passed >= 38, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# 5. Consensus replay
+# ---------------------------------------------------------------------------
+
+
+def test_reference_consensus_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import consensus as consensus_kernel
+    from smart_ocr_spark.kernel import score as score_kernel
+
+    @dataclass
+    class ConsensusResult:
+        page_num: int
+        selected_engine: str
+        merged_text: str
+        agreement_score: float
+        discrepancies: list = field(default_factory=list)
+
+    def _row(a: PageOutput) -> dict:
+        return {
+            "variant": a.engine,
+            "text": a.text,
+            "status": a.status.value,
+            "audit_passed": a.audit_passed,
+            "word_count": a.word_count,
+            "confidence": a.confidence,
+        }
+
+    def _levenshtein(a, b):
+        return score_kernel.levenshtein(a, b)
+
+    def _compute_wer(hyp, ref):
+        return score_kernel.wer(hyp, ref)
+
+    def _count_structure(text):
+        return score_kernel.count_structure(text)
+
+    def _agreement_score(a, b):
+        return score_kernel.agreement(a, b)
+
+    def _pairwise_agreement(attempts):
+        return score_kernel.pairwise_agreement([a.text for a in attempts])
+
+    def _score_attempt(attempt, reference_text=""):
+        return score_kernel.score_attempt(
+            attempt.text,
+            attempt.audit_passed,
+            attempt.word_count,
+            attempt.confidence,
+            reference_text,
+        )
+
+    def _score_attempt_grounded(attempt, reference_text):
+        return score_kernel.score_attempt_grounded(
+            attempt.text, attempt.audit_passed, attempt.word_count, reference_text
+        )
+
+    def _score_attempt_ungrounded(attempt):
+        return score_kernel.score_attempt_ungrounded(
+            attempt.text, attempt.audit_passed, attempt.word_count,
+            attempt.confidence,
+        )
+
+    class ConsensusEngine:
+        def __init__(self, use_llm=False, ollama_model="", ollama_url="",
+                     quiet=False):
+            self.use_llm = use_llm
+
+        def select_best(self, attempts, reference_text=""):
+            sel = consensus_kernel.select_best(
+                [_row(a) for a in attempts], reference_text
+            )
+            return ConsensusResult(
+                page_num=attempts[0].page_num if attempts else 0,
+                selected_engine=sel["selected_variant"],
+                merged_text=sel["merged_text"],
+                agreement_score=sel["agreement_score"],
+                discrepancies=sel["discrepancies"],
+            )
+
+    passed, failures, skipped = _replay(
+        _ref("test_consensus.py"),
+        {
+            "json": __import__("json"),
+            "DocumentHandle": DocumentHandle,
+            "DocumentStatus": DocumentStatus,
+            "EngineResult": EngineResult,
+            "PageOutput": PageOutput,
+            "PageStatus": PageStatus,
+            "DocumentState": DocumentState,
+            "PageState": PageState,
+            "ConsensusEngine": ConsensusEngine,
+            "ConsensusResult": ConsensusResult,
+            "_levenshtein": _levenshtein,
+            "_compute_wer": _compute_wer,
+            "_count_structure": _count_structure,
+            "_agreement_score": _agreement_score,
+            "_pairwise_agreement": _pairwise_agreement,
+            "_score_attempt": _score_attempt,
+            "_score_attempt_grounded": _score_attempt_grounded,
+            "_score_attempt_ungrounded": _score_attempt_ungrounded,
+        },
+    )
+    assert not failures, failures
+    assert passed >= 53, f"only {passed} ran ({skipped})"
