@@ -775,6 +775,47 @@ def q_extract_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_scanned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-category status rollup (reference benchmark category
+    `scanned`, rasterize.py:17-80): every doc_id % 37 == 5 row's payload
+    is replaced by a deterministic image-only PDF (no text layer).  The
+    pipeline must land those in the distinct ``failed_scanned`` bucket
+    with their image counts, while every other row follows the normal
+    identity ladder — never an empty-text success."""
+    _ship(spark)
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    scanned_pdf = build_pdf([[], []], image_pages=[True, True])
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.when(F.col("doc_id") % 37 == 5, F.lit(scanned_pdf))
+        .otherwise(
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            )
+        )
+        .alias("html"),
+        F.col("lang"),
+    )
+    res = run_extraction(spark, wrapped)
+    return (
+        res.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_images").alias("n_images"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import similarity
 
@@ -1060,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_multipage_assembly": q_extract_multipage_assembly,
         # rows-only (non-SQL-expressible; pinned by pytest golden tests)
         "extract_pipeline_report": q_extract_pipeline_report,
+        "extract_scanned_report": q_extract_scanned_report,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
@@ -1876,6 +1918,63 @@ SELECT lang, status, selected_variant,
     AS n_audit_pass
 FROM st GROUP BY lang, status, selected_variant
 ORDER BY lang, status, selected_variant
+""",
+        # same identity ladder, but every doc_id % 37 == 5 payload was
+        # swapped for a 2-page image-only PDF: those rows must land in
+        # failed_scanned with 2 images each; the rest follow the ladder.
+        "extract_scanned_report": f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+           WHERE doc_id % 37 <> 5),
+m AS (SELECT doc_id, lang, text,
+    CAST(len(toks) AS BIGINT) AS word_count,
+    length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS nonspace,
+    length(text) AS char_count
+  FROM t),
+s AS (SELECT doc_id, lang, text, word_count, char_count,
+    round(CASE WHEN word_count > 0
+          THEN nonspace / CAST(word_count AS DOUBLE) ELSE 0.0 END, 4) AS awl,
+    round(CASE WHEN char_count > 0 THEN
+      CAST(length(regexp_replace(text,
+        '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,;:!?''"()-]', '', 'g'))
+        AS DOUBLE) / char_count ELSE 1.0 END, 4) AS garbage_ratio,
+    regexp_matches(lower(text), 'i cannot|i can''t|unable to process|as an ai')
+      AS refusal_hit,
+    regexp_matches(text, '\\(cid:[0-9]+\\)') AS cid_hit,
+    CASE WHEN char_count > 0 THEN
+      CAST(char_count - length(replace(text, ' ', '')) AS DOUBLE) / char_count
+      ELSE 0.0 END AS space_ratio,
+    CASE WHEN char_count > 0 THEN
+      CAST(len(regexp_extract_all(text,
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]|\\x{{fffd}}|[\\x{{e000}}-\\x{{f8ff}}]'))
+        AS DOUBLE) / char_count ELSE 0.0 END AS src_garbage
+  FROM m),
+cls AS (SELECT s.doc_id, s.lang,
+    (s.word_count >= 50 AND s.awl >= 2.0 AND s.awl <= 15.0
+     AND s.garbage_ratio <= 0.15 AND NOT s.refusal_hit) AS audit_passed,
+    (s.char_count >= 50 AND s.word_count >= 15 AND NOT s.cid_hit
+     AND s.src_garbage <= 0.05 AND s.space_ratio <= 0.6
+     AND m.nonspace / CAST(greatest(s.word_count, 1) AS DOUBLE) >= 2.5
+     AND m.nonspace / CAST(greatest(s.word_count, 1) AS DOUBLE) <= 20.0)
+      AS born_digital,
+    s.char_count
+  FROM s JOIN m ON m.doc_id = s.doc_id),
+st AS (SELECT doc_id,
+    CASE WHEN audit_passed THEN 'success'
+         WHEN born_digital THEN 'success_native'
+         WHEN char_count > 0 THEN 'partial'
+         ELSE 'empty' END AS status
+  FROM cls),
+html_side AS (SELECT status, count(*) AS n_docs,
+              CAST(0 AS BIGINT) AS n_images
+              FROM st GROUP BY status),
+scan_side AS (SELECT 'failed_scanned' AS status,
+              count(*) AS n_docs,
+              CAST(2 * count(*) AS BIGINT) AS n_images
+              FROM documents WHERE doc_id % 37 = 5)
+SELECT status, n_docs, n_images FROM html_side
+UNION ALL
+SELECT status, n_docs, n_images FROM scan_side WHERE n_docs > 0
+ORDER BY status
 """,
         "reconcile_latex": """
 SELECT doc_id,

@@ -74,7 +74,13 @@ def extract_payload_full(payload: bytes) -> dict:
             # (inline figures); never enters the flat signal columns
             out["_pdf_doc"] = signals.pop("_doc", None)
             out["layout_text"] = finalize_text(layout_text)
-            out["basic_text"] = "\n\n".join(page_texts)
+            # all-empty page set (scanned/image-only): joining would
+            # fabricate separator-only text — mirror pdf_extract's rule
+            out["basic_text"] = (
+                "\n\n".join(page_texts)
+                if any(pt.strip() for pt in page_texts)
+                else ""
+            )
             for k, v in signals.items():
                 out[k] = v
             # the PDF signal set has no block-derived total_chars; the

@@ -808,7 +808,17 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
             )
         )
 
-    text = "\n\n---\n\n".join(page_texts) if variant != "basic" else "\n\n".join(page_texts)
+    if any(pt.strip() for pt in page_texts):
+        text = (
+            "\n\n---\n\n".join(page_texts)
+            if variant != "basic"
+            else "\n\n".join(page_texts)
+        )
+    else:
+        # no text layer anywhere (scanned/image-only doc): joining empty
+        # pages would fabricate separator-only text ('---') that reads
+        # as content downstream (reference: get_text on a scan is "")
+        text = ""
     signals = {
         # raw per-page texts so callers can build other joins without a
         # lossy string replace on the separator (a page legitimately

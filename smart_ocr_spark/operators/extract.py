@@ -809,6 +809,15 @@ def with_selection(df: DataFrame) -> DataFrame:
         .when(F.col("selection_rule") == "first_passing", F.lit("success"))
         .when(F.col("selection_rule") == "native_text", F.lit("success_native"))
         .when(F.length("final_text") > 0, F.lit("partial"))
+        # scanned page analog (reference benchmark category `scanned`,
+        # rasterize.py:17-80): an image-only PDF with no text layer is a
+        # DISTINCT graceful failure — the raster ladder isn't available
+        # in-kernel (S3 partial-by-design), and folding it into `empty`
+        # would hide the docs a raster-OCR tier should pick up
+        .when(
+            F.col("is_pdf") & (F.col("n_images") > 0) & (F.col("total_chars") == 0),
+            F.lit("failed_scanned"),
+        )
         .otherwise(F.lit("empty")),
     )
     return with_cost_columns(df)

@@ -49,6 +49,7 @@ RESULT_COLUMNS = [
     "n_pages",
     "n_tables",
     "n_headings",
+    "n_images",
     "link_density",
     "total_chars",
 ]

@@ -70,7 +70,11 @@ CLASSES = [
     ("spaced", 3),
     ("cid", 3),
     ("links", 5),
-    ("images", 4),
+    # round 3: one weight unit carved out of images (4 -> 3) for the
+    # scanned class keeps _TOTAL_W — and therefore every OTHER document's
+    # class assignment — unchanged across rounds
+    ("images", 3),
+    ("pdf_scanned", 1),
     ("pdf_prose", 8),
     ("pdf_multicol", 4),
     ("pdf_math", 3),
@@ -293,12 +297,16 @@ def build_pdf(
     page_width: float = 612,
     page_height: float = 792,
     raw_page_prefix: list[str] | None = None,
+    image_pages: list[bool] | None = None,
 ) -> bytes:
     """Write a minimal PDF.  ``pages`` = per page a list of (x, y, text)
     line placements; ``fonts`` = BaseFont names (F1 is used for all text;
     extra fonts only land in /Resources for the math-font signal);
     ``raw_page_prefix`` = optional raw content-stream ops prepended per
-    page (one string per page; used to plant drawing/figure operators)."""
+    page (one string per page; used to plant drawing/figure operators);
+    ``image_pages`` = per-page flag painting a full-page image XObject
+    (scanned-page analog: a page can be image-only by passing [] for its
+    text placements)."""
     fonts = fonts or ["Helvetica"]
     objects: list[bytes] = []
 
@@ -318,12 +326,31 @@ def build_pdf(
         f"/F{i+1} {oid} 0 R" for i, oid in enumerate(font_ids)
     )
 
+    image_id = None
+    if image_pages and any(image_pages):
+        # tiny 8x8 grayscale "scan" raster — the parser only reads the
+        # XObject header (Subtype /Image), never the pixels
+        pix = zlib.compress(bytes(range(0, 256, 4)))
+        image_id = add(
+            (
+                "<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                "/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/Length {len(pix)} /Filter /FlateDecode >>"
+            ).encode("latin-1")
+            + b"\nstream\n" + pix + b"\nendstream"
+        )
+
     page_ids = []
     content_ids = []
     for page_idx, lines in enumerate(pages):
+        has_image = bool(image_pages and page_idx < len(image_pages)
+                         and image_pages[page_idx])
         ops = []
         if raw_page_prefix and page_idx < len(raw_page_prefix):
             ops.append(raw_page_prefix[page_idx])
+        if has_image:
+            # paint the "scan" across the content area
+            ops.append("q 468 0 0 648 72 72 cm /Im1 Do Q")
         ops += ["BT", "/F1 12 Tf", "14 TL"]
         for x, y, text in lines:
             ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm")
@@ -340,11 +367,15 @@ def build_pdf(
 
     pages_id_placeholder = len(objects) + len(pages) + 1
     for i, cid in enumerate(content_ids):
+        has_image = bool(image_pages and i < len(image_pages) and image_pages[i])
+        xobj_res = (
+            f"/XObject << /Im1 {image_id} 0 R >> " if has_image and image_id else ""
+        )
         pid = add(
             (
                 f"<< /Type /Page /Parent {pages_id_placeholder} 0 R "
                 f"/MediaBox [0 0 {page_width:.0f} {page_height:.0f}] "
-                f"/Resources << /Font << {font_res} >> >> "
+                f"/Resources << /Font << {font_res} >> {xobj_res}>> "
                 f"/Contents {cid} 0 R >>"
             ).encode("latin-1")
         )
@@ -444,6 +475,19 @@ def _mk_pdf_sparse(rng, vocab):
     return build_pdf([[(72.0, 720.0, line)]]), line
 
 
+def _mk_pdf_scanned(rng, vocab):
+    """Rasterized-scan analog (reference benchmark/rasterize.py:17-80,
+    category ``scanned``, dataset.py:20): image-only pages with NO text
+    layer.  The pipeline must classify is_born_digital=false, route
+    without producing text (no raster OCR in the kernel set, S3
+    partial-by-design), and land in the ``failed_scanned`` status —
+    never an empty-text 'success'."""
+    n_pages = rng.randint(1, 3)
+    pdf = build_pdf([[] for _ in range(n_pages)],
+                    image_pages=[True] * n_pages)
+    return pdf, ""
+
+
 def _mk_pdf_long(rng, vocab):
     """>30 pages -> exercises the chunk fan-out path."""
     n_pages = rng.randint(32, 40)
@@ -475,6 +519,7 @@ _PDF_BUILDERS = {
     "pdf_math": _mk_pdf_math,
     "pdf_sparse": _mk_pdf_sparse,
     "pdf_long": _mk_pdf_long,
+    "pdf_scanned": _mk_pdf_scanned,
 }
 
 

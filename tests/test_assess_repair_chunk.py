@@ -182,3 +182,42 @@ class TestChunk:
         assert chunk.byte_buckets(10) == 0
         assert chunk.byte_buckets(1 << 20) == 1
         assert chunk.byte_buckets(5 << 20) == 5
+
+
+class TestScannedFixture:
+    """Reference `scanned` benchmark category analog (rasterize.py:17-80,
+    dataset.py:20): a rasterized, text-free, image-only PDF slice must
+    classify as NOT born-digital, carry its image signals, extract no
+    text at any variant, and route nowhere (graceful failure — there is
+    no raster ladder in-kernel, S3 partial-by-design)."""
+
+    def _scanned_pdf(self, n_pages=2):
+        from smart_ocr_spark.sources.corpus import build_pdf
+
+        return build_pdf([[] for _ in range(n_pages)],
+                         image_pages=[True] * n_pages)
+
+    def test_classify_not_born_digital(self):
+        from smart_ocr_spark.kernel.extract import extract_payload_full
+
+        out = extract_payload_full(self._scanned_pdf())
+        assert out["parse_ok"] and out["is_pdf"]
+        assert out["n_images"] == 2 and out["has_figures"]
+        assert out["basic_text"] == "" and out["layout_text"] == ""
+        assert out["total_chars"] == 0
+        r = assess.assess_page(out["basic_text"], has_images=True)
+        assert r["is_born_digital"] is False
+        assert "insufficient text layer" in r["notes"][0]
+
+    def test_no_variant_fabricates_text(self):
+        from smart_ocr_spark.kernel.extract import extract_payload_variant
+
+        pdf = self._scanned_pdf()
+        for variant in ("basic", "raw", "layout", "density", "layout_alt"):
+            got = extract_payload_variant(pdf, variant)
+            assert got in ("", None), (variant, got)
+
+    def test_audit_flags_empty_output(self):
+        out = audit.check("")
+        assert not out["audit_passed"]
+        assert out["primary_failure"] == audit.EMPTY_OUTPUT

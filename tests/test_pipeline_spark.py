@@ -84,7 +84,34 @@ def test_enhancement_attempt_for_tables(results):
 
 def test_statuses_sane(results):
     statuses = {r["status"] for r in results.select("status").distinct().collect()}
-    assert statuses <= {"success", "success_native", "partial", "empty"}
+    assert statuses <= {
+        "success", "success_native", "partial", "empty", "failed_scanned"
+    }
+
+
+def test_scanned_class_fails_gracefully(results):
+    """Reference `scanned` benchmark category analog (rasterize.py:17-80):
+    image-only PDFs must classify as NOT born-digital, produce no text,
+    never enter the repair loop (no raster ladder in-kernel), and land in
+    the distinct failed_scanned bucket — not an empty-text 'success'."""
+    scanned = results.filter(F.col("url").contains("/pdf_scanned/"))
+    n = scanned.count()
+    assert n > 0, "corpus must contain scanned docs at N_DOCS=250"
+    rows = scanned.select(
+        "status", "is_born_digital", "final_text", "attempts", "n_images",
+        "is_pdf", "total_chars",
+    ).collect()
+    for r in rows:
+        assert r["status"] == "failed_scanned"
+        assert r["is_pdf"] and r["n_images"] > 0
+        assert not r["is_born_digital"]
+        assert r["final_text"] == ""
+        assert r["total_chars"] == 0
+        # no repair churn: the single primary attempt, audit-failed
+        # with the right failure mode (nothing to extract)
+        assert len(r["attempts"]) == 1
+        assert not r["attempts"][0]["audit_passed"]
+        assert r["attempts"][0]["primary_failure"] == "empty_output"
 
 
 def test_deterministic_across_parallelism(spark):
