@@ -25,26 +25,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_corpus(spark, sf_dir: str, replicas: int):
+def build_corpus(spark, sf_dir: str, replicas: int, failure_rate: float = 0.0):
+    """Replicated corpus; ``failure_rate`` plants a deterministic
+    fraction of auditable-failing docs (CID-artifact payloads, the
+    corpus generator's `cid` class marker) so the timed job exercises
+    the repair loop — at the default 0 the 500k-doc run's failure count
+    is tiny and the repair broadcast path never gets load-tested
+    (VERDICT r2 #7).  Failing rows are selected by url hash, so the
+    same rate yields the same rows at every parallelism level."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rep = spark.range(replicas).withColumnRenamed("id", "rep")
+    url = F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("rep"))
+    body = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit(" rep "),
+        F.col("rep").cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    if failure_rate > 0:
+        fail_body = F.concat(
+            F.lit("<html><body><p>(cid:7) "),
+            F.col("text"),
+            F.lit(" rep "),
+            F.col("rep").cast("string"),
+            F.lit("</p></body></html>"),
+        )
+        body = F.when(
+            F.pmod(F.xxhash64(url), F.lit(10_000))
+            < F.lit(int(failure_rate * 10_000)),
+            fail_body,
+        ).otherwise(body)
     return docs.crossJoin(rep).select(
-        F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("rep")).alias(
-            "url"
-        ),
+        url.alias("url"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-        F.encode(
-            F.concat(
-                F.lit("<html><body><p>"),
-                F.col("text"),
-                F.lit(" rep "),
-                F.col("rep").cast("string"),
-                F.lit("</p></body></html>"),
-            ),
-            "UTF-8",
-        ).alias("html"),
+        F.encode(body, "UTF-8").alias("html"),
         F.col("lang"),
     )
 
@@ -53,6 +70,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", required=True)
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--failure-rate", type=float, default=0.0,
+        help="fraction of docs planted as auditable failures (repair load)",
+    )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -70,13 +91,14 @@ def main() -> int:
     import tempfile
 
     sf_tag = os.path.basename(args.sf_dir.rstrip("/"))
+    fr_tag = f"_f{int(args.failure_rate * 10_000)}" if args.failure_rate else ""
     corpus_path = os.path.join(
-        tempfile.gettempdir(), f"scaling_corpus_{sf_tag}_r{args.replicas}"
+        tempfile.gettempdir(), f"scaling_corpus_{sf_tag}_r{args.replicas}{fr_tag}"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        build_corpus(spark, args.sf_dir, args.replicas).repartition(64).write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+        build_corpus(
+            spark, args.sf_dir, args.replicas, args.failure_rate
+        ).repartition(64).write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
     # real warm-up: run the pipeline on a slice so executor Python
@@ -96,6 +118,16 @@ def main() -> int:
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(url, final_text))").alias("checksum"),
         F.sum(F.length("final_text")).alias("total_text_bytes"),
+        F.sum((F.size("attempts") > 1).cast("long")).alias("n_multi_attempt"),
+        # repair (not enhancement) rounds: extra attempts on docs whose
+        # PRIMARY attempt failed audit — enhancement also escalates but
+        # only on docs whose first attempt passed
+        F.sum(
+            F.expr(
+                "cast(exists(attempts, a -> a.escalated_from != '')"
+                " and not attempts[0].audit_passed as long)"
+            )
+        ).alias("n_repaired_docs"),
     ).collect()[0]
     wall = time.perf_counter() - t0
 
@@ -109,6 +141,9 @@ def main() -> int:
                 "docs_per_sec": round(n_docs / wall, 2),
                 "corpus_checksum": int(agg["checksum"]),
                 "total_text_bytes": int(agg["total_text_bytes"]),
+                "n_multi_attempt": int(agg["n_multi_attempt"]),
+                "n_repaired_docs": int(agg["n_repaired_docs"]),
+                "failure_rate": args.failure_rate,
                 "sf_dir": args.sf_dir,
                 "replicas": args.replicas,
             }

@@ -657,7 +657,11 @@ def fused_repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFra
                         attempt_idx=len(atts),
                         variant=variant,
                         text=text or "",
-                        escalated_from="",
+                        # reference PageOutput.escalated_from: "engine
+                        # that failed, triggering escalation"
+                        # (result.py:86) — the repair attempt records
+                        # the variant it escalated away from
+                        escalated_from=last or "",
                         **_audit_row(text, row["n_pages"]),
                     )
                 )
