@@ -747,17 +747,26 @@ def with_selection(df: DataFrame) -> DataFrame:
         for atts, native, bd in zip(attempts, native_text, is_bd):
             atts = list(atts)
             native = native or ""
-            discrepancies = consensus_kernel.find_discrepancies(atts)
-            # word-capped agreement: the pairwise word-DP is O(m*n) and
-            # informational only — bound it so giant docs can't dominate
-            # the selection pass (cap documented, not silent)
-            agreement = score_kernel.pairwise_agreement(
-                [
-                    " ".join((a["text"] or "").split()[:2000])
-                    for a in atts
-                    if (a["text"] or "").strip()
-                ]
-            )
+            # multi-attempt rows only (VERDICT r2 #1c): discrepancies and
+            # agreement are DEFINED as 1-attempt no-ops ([] and 1.0), but
+            # the word-split for the agreement cap was still O(len) per
+            # row — on the single-attempt majority that was pure waste in
+            # the selection pass's hot loop.  Byte-identical outputs.
+            if len(atts) >= 2:
+                discrepancies = consensus_kernel.find_discrepancies(atts)
+                # word-capped agreement: the pairwise word-DP is O(m*n)
+                # and informational only — bound it so giant docs can't
+                # dominate the selection pass (cap documented, not silent)
+                agreement = score_kernel.pairwise_agreement(
+                    [
+                        " ".join((a["text"] or "").split()[:2000])
+                        for a in atts
+                        if (a["text"] or "").strip()
+                    ]
+                )
+            else:
+                discrepancies = []
+                agreement = 1.0
             passing = [a for a in atts if a["audit_passed"]]
             if passing:
                 best = min(passing, key=lambda a: a["attempt_idx"])
