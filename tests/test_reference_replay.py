@@ -281,6 +281,161 @@ def test_reference_audit_heuristics_matrix_passes_verbatim():
 
 
 # ---------------------------------------------------------------------------
+# 2b. Failure-mode scorer replay (same audit kernel, classification side)
+# ---------------------------------------------------------------------------
+
+
+# metric name -> failure mode, as the kernel's check() wires them inline
+_METRIC_TO_MODE = {
+    "Empty output": FailureMode.EMPTY_OUTPUT,
+    "LLM refusal": FailureMode.REFUSAL,
+    "CID artifacts": FailureMode.GARBAGE,
+    "Hallucination loops": FailureMode.HALLUCINATION,
+    "Formatting hallucination": FailureMode.HALLUCINATION,
+    "Word count": FailureMode.LOW_WORD_COUNT,
+    "Garbage ratio": FailureMode.GARBAGE,
+    "Truncation check": FailureMode.TRUNCATED,
+}
+
+
+def test_reference_failure_scorer_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import audit as audit_kernel
+
+    @dataclass
+    class ScoringResult:
+        failure_modes: list = field(default_factory=list)
+        primary_failure: FailureMode = FailureMode.NONE
+        confidence: float = 1.0
+        details: dict = field(default_factory=dict)
+
+        @property
+        def passed(self) -> bool:
+            return len(self.failure_modes) == 0
+
+    class HeuristicsChecker:
+        def __init__(
+            self,
+            min_word_count: int = audit_kernel.DEFAULT_MIN_WORD_COUNT,
+            max_garbage_ratio: float = audit_kernel.DEFAULT_MAX_GARBAGE_RATIO,
+        ):
+            self.min_word_count = min_word_count
+            self.max_garbage_ratio = max_garbage_ratio
+
+    @dataclass
+    class AuditMetric:
+        name: str
+        value: object = None
+        threshold: object = None
+        passed: bool = True
+        severity: str = "info"
+
+    @dataclass
+    class HeuristicsResult:
+        passed: bool = True
+        metrics: list = field(default_factory=list)
+        warnings: list = field(default_factory=list)
+        errors: list = field(default_factory=list)
+
+        def add_metric(self, metric) -> None:
+            self.metrics.append(metric)
+            if not metric.passed:
+                if metric.severity == "error":
+                    self.passed = False
+                    self.errors.append(f"{metric.name}: {metric.value}")
+                else:
+                    self.warnings.append(f"{metric.name}: {metric.value}")
+
+    def _checker_check(self, text, expected_pages=0):
+        chk = audit_kernel.check(
+            text,
+            expected_pages=expected_pages,
+            min_word_count=self.min_word_count,
+            max_garbage_ratio=self.max_garbage_ratio,
+        )
+        res = HeuristicsResult()
+        for name in chk["errors"]:
+            res.add_metric(AuditMetric(name=name, passed=False, severity="error"))
+        for name in chk["warnings"]:
+            res.add_metric(AuditMetric(name=name, passed=False, severity="warning"))
+        return res
+
+    HeuristicsChecker.check = _checker_check
+
+    class FailureModeScorer:
+        def __init__(self, checker: HeuristicsChecker | None = None):
+            self.checker = checker or HeuristicsChecker()
+
+        def score(self, text: str, engine: str = "", expected_pages: int = 0):
+            chk = audit_kernel.check(
+                text,
+                expected_pages=expected_pages,
+                min_word_count=self.checker.min_word_count,
+                max_garbage_ratio=self.checker.max_garbage_ratio,
+            )
+            if chk["audit_passed"] or not chk["failure_modes"]:
+                return ScoringResult()
+            details = {}
+            for name in chk["errors"]:
+                mode = _METRIC_TO_MODE.get(name)
+                if mode is not None:
+                    details[mode] = name  # metric name as the detail line
+            return ScoringResult(
+                failure_modes=[FailureMode(m) for m in chk["failure_modes"]],
+                primary_failure=FailureMode(chk["primary_failure"]),
+                confidence=chk["failure_confidence"],
+                details=details,
+            )
+
+        def score_from_audit(self, audit_result):
+            """Classify a pre-built HeuristicsResult: the name->mode map
+            mirrors the kernel's inline wiring; primary selection and
+            confidence delegate to the kernel's _select_primary /
+            _confidence (reference scorer.py:126-151)."""
+            if audit_result.passed:
+                return ScoringResult()
+            modes, details = [], {}
+            n_err = n_warn = 0
+            for metric in audit_result.metrics:
+                if metric.passed or metric.severity not in ("error", "warning"):
+                    continue
+                if metric.severity == "error":
+                    n_err += 1
+                else:
+                    n_warn += 1
+                mode = _METRIC_TO_MODE.get(metric.name)
+                if mode is None:
+                    continue
+                if mode not in modes:
+                    modes.append(mode)
+                details[mode] = f"{metric.name} ({metric.value})"
+            if not modes:
+                return ScoringResult()
+            primary = FailureMode(
+                audit_kernel._select_primary([m.value for m in modes])
+            )
+            return ScoringResult(
+                failure_modes=modes,
+                primary_failure=primary,
+                confidence=audit_kernel._confidence(n_err, n_warn),
+                details=details,
+            )
+
+    passed, failures, skipped = _replay(
+        _ref("test_failure_scorer.py"),
+        {
+            "AuditMetric": AuditMetric,
+            "FailureMode": FailureMode,
+            "FailureModeScorer": FailureModeScorer,
+            "HeuristicsChecker": HeuristicsChecker,
+            "HeuristicsResult": HeuristicsResult,
+            "ScoringResult": ScoringResult,
+        },
+    )
+    assert not failures, failures
+    assert passed >= 21, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
 # 3. Chunker replay
 # ---------------------------------------------------------------------------
 
