@@ -50,6 +50,30 @@ _SOURCE_GARBAGE_RE = re.compile(
 COLUMNAR_MIN_SINGLE_TOKEN_LINES = 15
 COLUMNAR_SINGLE_TOKEN_FRAC = 0.50
 
+# LaTeX-markup equation detection (reference born_digital.py:477-506, P8)
+_LATEX_CMD_RE = re.compile(
+    r"\\(?:frac|sum|int|prod|lim|infty|partial|nabla|alpha|beta|gamma"
+    r"|delta|epsilon|theta|lambda|sigma|omega|begin\{(?:equation|align"
+    r"|gather|math|displaymath)\})"
+)
+_LATEX_DISPLAY_RE = re.compile(r"\$\$.+?\$\$", re.DOTALL)
+_LATEX_BRACKET_RE = re.compile(r"\\\[.+?\\\]", re.DOTALL)
+
+
+def detect_latex_equations(text: str) -> bool:
+    """LaTeX equation markup in extracted text (reference
+    born_digital.py:477-506): common commands / environments, $$...$$
+    display math, or \\[...\\] brackets.  Complements the math-FONT
+    signal (pdf_extract.MATH_FONT_RE, P7) — a paper can carry equations
+    as markup in a plain text font."""
+    if "\\" not in text and "$$" not in text:
+        return False  # fast gate: both signal families need these chars
+    return bool(
+        _LATEX_CMD_RE.search(text)
+        or _LATEX_DISPLAY_RE.search(text)
+        or _LATEX_BRACKET_RE.search(text)
+    )
+
 
 def detect_columnar_numbers(text: str) -> bool:
     """Borderless-table detector via single-token line ratio (reference
@@ -112,6 +136,9 @@ def assess_page(
     has_tables: bool = False,
     has_equations: bool = False,
     structured_text: str | None = None,
+    min_chars: int | None = None,
+    min_words: int | None = None,
+    max_garbage_ratio: float | None = None,
 ) -> dict:
     """Born-digital decision cascade (reference born_digital.py:188-404).
 
@@ -120,7 +147,14 @@ def assess_page(
     present (reference ``extract_structured``).  Returns a flat dict with
     is_born_digital, native_text, confidence, raw metrics, the
     needs_ocr_enhancement flag and the reference's note strings.
+    ``min_chars``/``min_words``/``max_garbage_ratio`` override the module
+    thresholds per call (reference BornDigitalDetector.__init__ kwargs).
     """
+    min_chars = MIN_CHARS_FOR_TEXT_LAYER if min_chars is None else min_chars
+    min_words = MIN_WORDS_PER_PAGE if min_words is None else min_words
+    max_garbage = (
+        MAX_GARBAGE_RATIO if max_garbage_ratio is None else max_garbage_ratio
+    )
     char_count = len(raw_text)
     words = raw_text.split()
     word_count = len(words)
@@ -132,13 +166,13 @@ def assess_page(
             has_images, has_tables, has_figures, has_equations, False, [note],
         )
 
-    if char_count < MIN_CHARS_FOR_TEXT_LAYER:
+    if char_count < min_chars:
         return scanned(
             0.95,
-            f"insufficient text layer ({char_count} chars < {MIN_CHARS_FOR_TEXT_LAYER})",
+            f"insufficient text layer ({char_count} chars < {min_chars})",
         )
-    if word_count < MIN_WORDS_PER_PAGE:
-        return scanned(0.85, f"too few words ({word_count} < {MIN_WORDS_PER_PAGE})")
+    if word_count < min_words:
+        return scanned(0.85, f"too few words ({word_count} < {min_words})")
 
     garbage = source_garbage_ratio(raw_text)
     space_ratio = raw_text.count(" ") / max(len(raw_text), 1)
@@ -146,7 +180,7 @@ def assess_page(
 
     if _CID_RE.search(raw_text):
         return scanned(0.95, "CID font mapping artifacts detected")
-    if garbage > MAX_GARBAGE_RATIO:
+    if garbage > max_garbage:
         return scanned(0.80, f"high garbage ratio ({garbage:.1%})")
     if space_ratio > MAX_SPACE_RATIO:
         return scanned(0.75, f"excessive spacing ({space_ratio:.1%})")

@@ -97,10 +97,20 @@ def extract_payload_full(payload: bytes) -> dict:
                 # like the reference: an HTML page's basic text can
                 # legitimately be single-token lines (nav menus, tag
                 # clouds) and HTML tables are detected structurally.
+                # (The structural half — ruled grids — comes from
+                # pdf_extract.detect_ruled_table in the signals.)
                 from smart_ocr_spark.kernel.assess import detect_columnar_numbers
 
                 if any(detect_columnar_numbers(pt) for pt in page_texts):
                     out["has_tables"] = True
+            if not out["has_equations"]:
+                # P8 LaTeX-markup detection complements the math-FONT
+                # signal P7 (reference born_digital.py:477-506): papers
+                # carry equations as markup in plain text fonts too
+                from smart_ocr_spark.kernel.assess import detect_latex_equations
+
+                if detect_latex_equations(out["basic_text"]):
+                    out["has_equations"] = True
         else:
             html = payload.decode("utf-8", "replace")
             root = parse_html(html)

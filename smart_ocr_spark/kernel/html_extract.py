@@ -647,16 +647,9 @@ def page_signals(blocks: list[Block], html: str) -> dict:
     n_lists = sum(1 for b in blocks if b.kind == "li")
     total_chars = sum(b.total_chars for b in blocks)
     link_chars = sum(b.link_chars for b in blocks)
-    has_equations = bool(
-        re.search(
-            r"\\(?:frac|sum|int|prod|lim|infty|partial|nabla|alpha|beta|gamma"
-            r"|delta|epsilon|theta|lambda|sigma|omega|begin\{(?:equation|align"
-            r"|gather|math|displaymath)\})",
-            html,
-        )
-        or re.search(r"\$\$.+?\$\$", html, re.DOTALL)
-        or re.search(r"\\\[.+?\\\]", html, re.DOTALL)
-    )
+    from smart_ocr_spark.kernel.assess import detect_latex_equations
+
+    has_equations = detect_latex_equations(html)
     n_images = len(re.findall(r"<img\b", html, re.IGNORECASE))
     return {
         "n_blocks": len(blocks),

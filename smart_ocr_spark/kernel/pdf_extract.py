@@ -759,6 +759,166 @@ MATH_FONT_RE = re.compile(
 )
 
 
+_RULED_MIN_H = 3       # >= 3 distinct horizontal rules
+_RULED_MIN_V = 3       # x >= 3 distinct vertical rules
+_RULED_Y_TOL = 1.5     # rule-coordinate clustering tolerance (pt)
+_RULED_MIN_SPAN = 20.0  # segment length floor (pt) — ticks aren't rules
+_RULED_MAX_SEGS = 5_000  # work bound on pathological streams
+
+
+def _scan_rule_segments(content: bytes):
+    """Axis-aligned stroked line segments from the path operators:
+    returns (horizontals [(y, x0, x1)], verticals [(x, y0, y1)])."""
+    lx = _Lexer(content, 0)
+    operands: list = []
+    cur: tuple[float, float] | None = None
+    hs: list[tuple[float, float, float]] = []
+    vs: list[tuple[float, float, float]] = []
+    n = len(content)
+    n_segs = 0
+    while lx.pos < n and n_segs < _RULED_MAX_SEGS:
+        lx.skip_ws()
+        if lx.pos >= n:
+            break
+        c = content[lx.pos : lx.pos + 1]
+        if c in b"/<([+-.0123456789":
+            try:
+                operands.append(lx.parse_object())
+            except PdfError:
+                lx.pos += 1
+            continue
+        m = re.match(rb"[A-Za-z'\"*]{1,3}", content[lx.pos : lx.pos + 3])
+        if not m:
+            lx.pos += 1
+            operands = []
+            continue
+        op = m.group(0)
+        lx.pos += len(op)
+        try:
+            if op == b"m" and len(operands) >= 2:
+                cur = (float(operands[-2]), float(operands[-1]))
+            elif op == b"l" and len(operands) >= 2 and cur is not None:
+                x2, y2 = float(operands[-2]), float(operands[-1])
+                x1, y1 = cur
+                dx, dy = abs(x2 - x1), abs(y2 - y1)
+                n_segs += 1
+                if dy <= _RULED_Y_TOL and dx >= _RULED_MIN_SPAN:
+                    hs.append((y1, min(x1, x2), max(x1, x2)))
+                elif dx <= _RULED_Y_TOL and dy >= _RULED_MIN_SPAN:
+                    vs.append((x1, min(y1, y2), max(y1, y2)))
+                cur = (x2, y2)
+        except (TypeError, ValueError):
+            pass
+        operands = []
+    return hs, vs
+
+
+def _grid_rules(hs, vs):
+    """(x_rules, y_rules) when the segments form a grid, else None."""
+    if len(hs) < _RULED_MIN_H or len(vs) < _RULED_MIN_V:
+        return None
+    hy = _cluster([h[0] for h in hs], _RULED_Y_TOL)
+    vx = _cluster([v[0] for v in vs], _RULED_Y_TOL)
+    if len(hy) < _RULED_MIN_H or len(vx) < _RULED_MIN_V:
+        return None
+    # span intersection: the vertical rules' x positions must fall on
+    # the horizontal rules' extent and vice versa
+    h_x0 = min(h[1] for h in hs)
+    h_x1 = max(h[2] for h in hs)
+    v_y0 = min(v[1] for v in vs)
+    v_y1 = max(v[2] for v in vs)
+    n_v = sum(1 for x in vx if h_x0 - _RULED_Y_TOL <= x <= h_x1 + _RULED_Y_TOL)
+    n_h = sum(1 for y in hy if v_y0 - _RULED_Y_TOL <= y <= v_y1 + _RULED_Y_TOL)
+    if n_v < _RULED_MIN_V or n_h < _RULED_MIN_H:
+        return None
+    return (vx, hy)
+
+
+def detect_ruled_table(content: bytes) -> bool:
+    """Ruled/bordered table detector (reference born_digital.py:410-426:
+    PyMuPDF ``find_tables()`` catches grid-line tables — the structural
+    half of P9 that the columnar-numbers heuristic P10 cannot see).
+
+    Scans the content stream's path operators for stroked line segments
+    (``m``/``l``); a page with >= 3 distinct horizontal rule y's AND
+    >= 3 distinct vertical rule x's whose spans overlap is a grid.
+    Prose pages carry no path ops, so the byte probe exits immediately.
+    """
+    return find_ruled_grid(content) is not None
+
+
+def find_ruled_grid(content: bytes):
+    """(x_rules, y_rules) of the page's ruled grid, or None."""
+    if content.count(b" l") < (_RULED_MIN_H + _RULED_MIN_V - 1):
+        return None  # fast gate: a grid needs at least that many 'l' ops
+    return _grid_rules(*_scan_rule_segments(content))
+
+
+def extract_structured_page(
+    content: bytes,
+    fmap: dict[str, str] | None = None,
+    page_width: float = 612.0,
+    x_origin: float = 0.0,
+) -> str | None:
+    """Structured (table-aware) page rendering, P14 for ruled PDF pages
+    (reference born_digital.py:512-591 ``extract_structured``): text
+    runs inside the grid become a markdown table (cells assigned by rule
+    intervals, first row = header, P15 renderer); prose above/below the
+    grid renders normally; the pieces interleave in reading order.
+    Returns None when the page has no ruled grid."""
+    import bisect
+
+    grid = find_ruled_grid(content)
+    if grid is None:
+        return None
+    from smart_ocr_spark.kernel.html_extract import table_to_markdown
+
+    x_rules, y_rules = grid
+    runs = interpret_content(content, fmap)
+    x0, x1 = x_rules[0] - 2.0, x_rules[-1] + 2.0
+    y0, y1 = y_rules[0] - 2.0, y_rules[-1] + 2.0
+    above, in_table, below = [], [], []
+    for r in runs:
+        if x0 <= r.x <= x1 and y0 <= r.y <= y1:
+            in_table.append(r)
+        elif r.y > y1:
+            above.append(r)
+        else:
+            below.append(r)
+    n_rows, n_cols = len(y_rules) - 1, len(x_rules) - 1
+    cells = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+    for r in sorted(in_table, key=lambda t: (-t.y, t.x)):
+        ci = min(max(bisect.bisect_right(x_rules, r.x) - 1, 0), n_cols - 1)
+        ri_asc = min(max(bisect.bisect_right(y_rules, r.y) - 1, 0), n_rows - 1)
+        ri = n_rows - 1 - ri_asc  # grid y ascends; rows read top-down
+        cells[ri][ci] = (cells[ri][ci] + " " + r.text).strip()
+    parts = []
+    for seg in (above,):
+        if seg:
+            parts.append(
+                render_page_text(
+                    reconstruct_lines(seg), page_width, x_origin=x_origin
+                )
+            )
+    parts.append(table_to_markdown(cells))
+    if below:
+        parts.append(
+            render_page_text(
+                reconstruct_lines(below), page_width, x_origin=x_origin
+            )
+        )
+    return "\n\n".join(p for p in parts if p)
+
+
+def _cluster(vals: list[float], tol: float) -> list[float]:
+    """Distinct values after tolerance clustering (sorted reps)."""
+    out: list[float] = []
+    for v in sorted(vals):
+        if not out or v - out[-1] > tol:
+            out.append(v)
+    return out
+
+
 def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
     """Extract text + signals from PDF bytes.
 
@@ -771,6 +931,7 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
     page_texts: list[str] = []
     n_fonts = set()
     math_font = False
+    ruled_table = False
     images = 0
     max_cols = 1
     for page in pages:
@@ -791,7 +952,12 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
         media = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
         x_origin = float(doc.resolve(media[0]))
         page_width = float(doc.resolve(media[2])) - x_origin
-        runs = interpret_content(doc.page_content(page), fmap)
+        content = doc.page_content(page)
+        if not ruled_table:
+            # P9 structural half: grid-line tables (byte probe exits
+            # immediately on the op-free prose majority)
+            ruled_table = detect_ruled_table(content)
+        runs = interpret_content(content, fmap)
         lines = reconstruct_lines(runs)
         n_cols = estimate_columns(lines, page_width)
         max_cols = max(max_cols, n_cols)
@@ -831,6 +997,7 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
         "n_pages": len(pages),
         "font_count": len(n_fonts),
         "has_equations": math_font,
+        "has_tables": ruled_table,
         "has_figures": images > 0,
         "n_images": images,
         "column_count": max_cols,

@@ -574,6 +574,374 @@ def test_reference_chunker_matrix_passes_verbatim():
 
 
 # ---------------------------------------------------------------------------
+# 3b. Born-digital detector replay
+# ---------------------------------------------------------------------------
+
+
+def _rich_fitz_shim():
+    """fitz stand-in rich enough for the born-digital test fixtures:
+    insert_text (fontsize/fontname kwargs), TextWriter, draw_rect,
+    new_shape().draw_line grids (emitted as real content-stream path
+    ops so our detect_ruled_table sees them).  Written PDFs come from
+    our synthetic builder and are re-read through our own PDF kernel."""
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    class Rect(tuple):
+        def __new__(cls, x0=0.0, y0=0.0, x1=612.0, y1=792.0):
+            return super().__new__(cls, (x0, y0, x1, y1))
+
+    class Point(tuple):
+        def __new__(cls, x, y):
+            return super().__new__(cls, (x, y))
+
+    class Font:
+        def __init__(self, name="helv"):
+            self.name = name
+
+    class _Shape:
+        def __init__(self, page):
+            self._page = page
+
+        def draw_line(self, p1, p2):
+            # fitz y is top-down; our builder is PDF bottom-up
+            h = self._page.rect[3]
+            self._page._raw_ops.append(
+                f"{p1[0]:.1f} {h - p1[1]:.1f} m {p2[0]:.1f} {h - p2[1]:.1f} l S"
+            )
+
+        def finish(self, **kw):
+            pass
+
+        def commit(self):
+            pass
+
+    class TextWriter:
+        def __init__(self, rect):
+            self._rect = rect
+            self._pending = []
+
+        def append(self, pos, text, fontsize=11, font=None):
+            self._pending.append((pos, text))
+
+        def write_text(self, page):
+            for pos, text in self._pending:
+                page.insert_text(pos, text)
+
+    class _Page:
+        def __init__(self, width=612.0, height=792.0):
+            self.rect = Rect(0, 0, width, height)
+            self._runs: list[tuple[float, float, str]] = []
+            self._raw_ops: list[str] = []
+            self._fonts: list[str] = []
+            self._has_image = False
+
+        def insert_text(self, pos, text, fontsize=11, fontname="helv"):
+            x, y = pos
+            self._runs.append((float(x), self.rect[3] - float(y), str(text)))
+            if fontname and fontname not in self._fonts:
+                self._fonts.append(fontname)
+
+        def draw_rect(self, rect, color=None, fill=None):
+            x0, y0, x1, y1 = rect
+            h = self.rect[3]
+            self._page_rect_op = (
+                f"{x0:.1f} {h - y1:.1f} {x1 - x0:.1f} {y1 - y0:.1f} re f"
+            )
+            self._raw_ops.append(self._page_rect_op)
+
+        def insert_image(self, rect, stream=None):
+            self._has_image = True
+
+        def new_shape(self):
+            return _Shape(self)
+
+    class _Doc:
+        def __init__(self):
+            self._pages: list[_Page] = []
+
+        def new_page(self, width=612, height=792):
+            p = _Page(float(width), float(height))
+            self._pages.append(p)
+            return p
+
+        def save(self, path):
+            fontmap = {"helv": "Helvetica", "cour": "Courier"}
+            fonts = ["Helvetica"]
+            for p in self._pages:
+                for f in p._fonts:
+                    bf = fontmap.get(f, f)
+                    if bf not in fonts:
+                        fonts.append(bf)
+            Path(path).write_bytes(
+                build_pdf(
+                    [p._runs for p in self._pages],
+                    fonts=fonts,
+                    raw_page_prefix=[" ".join(p._raw_ops) for p in self._pages],
+                    image_pages=[p._has_image for p in self._pages],
+                )
+            )
+
+        def close(self):
+            pass
+
+    class _ReaderPage:
+        def __init__(self, text, content, fmap):
+            self._text = text
+            self._content = content
+            self._fmap = fmap
+
+        def get_text(self, *a):
+            return self._text
+
+    class _Reader:
+        def __init__(self, path):
+            from smart_ocr_spark.kernel.pdf_extract import (
+                PdfDocument,
+                extract_pdf,
+            )
+
+            payload = Path(path).read_bytes()
+            _, signals = extract_pdf(payload, "basic")
+            doc = PdfDocument(payload)
+            self._pages = [
+                _ReaderPage(
+                    text,
+                    doc.page_content(page),
+                    dict(enumerate(doc.page_fonts(page))),
+                )
+                for page, text in zip(doc.pages(), signals["page_texts"])
+            ]
+
+        def __len__(self):
+            return len(self._pages)
+
+        def __getitem__(self, i):
+            return self._pages[i]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def close(self):
+            pass
+
+    class _Fitz:
+        @staticmethod
+        def open(path=None):
+            if path is not None:
+                return _Reader(str(path))
+            return _Doc()
+
+    _Fitz.Rect = Rect
+    _Fitz.Point = Point
+    _Fitz.Font = Font
+    _Fitz.TextWriter = TextWriter
+    return _Fitz()
+
+
+def test_reference_born_digital_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import assess as assess_kernel
+    from smart_ocr_spark.kernel.pdf_extract import (
+        MATH_FONT_RE,
+        PdfDocument,
+        detect_ruled_table,
+        extract_pdf,
+    )
+
+    @dataclass
+    class PageAssessment:
+        page_num: int
+        is_born_digital: bool
+        native_text: str
+        confidence: float
+        char_count: int = 0
+        word_count: int = 0
+        font_count: int = 0
+        has_images: bool = False
+        has_tables: bool = False
+        has_figures: bool = False
+        has_equations: bool = False
+        needs_ocr_enhancement: bool = False
+        notes: list = field(default_factory=list)
+
+    @dataclass
+    class DocumentAssessment:
+        path: Path
+        pages: list
+
+        @property
+        def page_count(self):
+            return len(self.pages)
+
+        @property
+        def born_digital_count(self):
+            return sum(1 for p in self.pages if p.is_born_digital)
+
+        @property
+        def scanned_count(self):
+            return self.page_count - self.born_digital_count
+
+        @property
+        def is_fully_born_digital(self):
+            return all(p.is_born_digital for p in self.pages)
+
+        @property
+        def is_fully_scanned(self):
+            return not any(p.is_born_digital for p in self.pages)
+
+        @property
+        def is_mixed(self):
+            return not self.is_fully_born_digital and not self.is_fully_scanned
+
+        def born_digital_pages(self):
+            return [p.page_num for p in self.pages if p.is_born_digital]
+
+        def scanned_pages(self):
+            return [p.page_num for p in self.pages if not p.is_born_digital]
+
+    class BornDigitalDetector:
+        def __init__(self, min_chars=None, min_words=None, max_garbage_ratio=None):
+            self.min_chars = min_chars
+            self.min_words = min_words
+            self.max_garbage_ratio = max_garbage_ratio
+
+        @staticmethod
+        def _detect_equations(text):
+            return assess_kernel.detect_latex_equations(text)
+
+        @staticmethod
+        def _detect_math_fonts(page):
+            # fitz get_fonts tuple: (xref, ext, type, basefont, name, enc)
+            try:
+                for font in page.get_fonts():
+                    basefont = font[3] if len(font) > 3 else ""
+                    if basefont and MATH_FONT_RE.search(basefont):
+                        return True
+            except Exception:
+                pass
+            return False
+
+        @staticmethod
+        def _table_to_markdown(table):
+            # reference signature takes a fitz Table (has .extract())
+            from smart_ocr_spark.kernel.html_extract import table_to_markdown
+
+            rows = table.extract() if hasattr(table, "extract") else table
+            return table_to_markdown(rows)
+
+        @staticmethod
+        def extract_structured(page):
+            from smart_ocr_spark.kernel.pdf_extract import extract_structured_page
+
+            structured = extract_structured_page(page._content)
+            return structured if structured is not None else page.get_text()
+
+        def _assess(self, payload: bytes) -> list:
+            from smart_ocr_spark.kernel.pdf_extract import extract_structured_page
+
+            _, signals = extract_pdf(payload, "basic")
+            doc = PdfDocument(payload)
+            pages = doc.pages()
+            out = []
+            for i, (page, text) in enumerate(
+                zip(pages, signals["page_texts"]), start=1
+            ):
+                fonts = doc.page_fonts(page)
+                content = doc.page_content(page)
+                has_eq = any(
+                    MATH_FONT_RE.search(f) for f in fonts
+                ) or assess_kernel.detect_latex_equations(text)
+                has_tab = detect_ruled_table(
+                    content
+                ) or assess_kernel.detect_columnar_numbers(text)
+                structured = (
+                    extract_structured_page(content) if has_tab else None
+                )
+                r = assess_kernel.assess_page(
+                    text,
+                    font_count=len(set(fonts)),
+                    has_images=doc.page_image_count(page) > 0,
+                    has_tables=has_tab,
+                    has_equations=has_eq,
+                    structured_text=structured,
+                    min_chars=self.min_chars,
+                    min_words=self.min_words,
+                    max_garbage_ratio=self.max_garbage_ratio,
+                )
+                out.append(
+                    PageAssessment(
+                        page_num=i,
+                        is_born_digital=r["is_born_digital"],
+                        native_text=r["native_text"],
+                        confidence=r["confidence"],
+                        char_count=r["char_count"],
+                        word_count=r["word_count"],
+                        font_count=r["font_count"],
+                        has_images=r["has_images"],
+                        has_tables=r["has_tables"],
+                        has_figures=r["has_figures"],
+                        has_equations=r["has_equations"],
+                        needs_ocr_enhancement=r["needs_ocr_enhancement"],
+                        notes=r["notes"],
+                    )
+                )
+            return out
+
+        def detect(self, pdf_path):
+            path = Path(pdf_path)
+            if not path.exists():
+                raise FileNotFoundError(path)
+            return DocumentAssessment(path=path, pages=self._assess(path.read_bytes()))
+
+        def detect_page(self, pdf_path, page_num: int):
+            pages = self._assess(Path(pdf_path).read_bytes())
+            if not (1 <= page_num <= len(pages)):
+                raise ValueError(f"page {page_num} out of range (1-{len(pages)})")
+            return pages[page_num - 1]
+
+    # Minimal PIL stand-in: the figure-detection fixtures only need an
+    # object whose .save() writes SOME bytes into a BytesIO — the image
+    # payload is never decoded (detection reads the XObject header).
+    import sys as _sys
+    import types as _types
+
+    class _FakeImage:
+        @staticmethod
+        def new(mode, size, color=None):
+            class _I:
+                def save(self, fp, format=None):
+                    fp.write(b"\x89PNG\r\n\x1a\nfake")
+
+            return _I()
+
+    pil_mod = _types.ModuleType("PIL")
+    pil_mod.Image = _FakeImage
+    had_pil = "PIL" in _sys.modules
+    _sys.modules.setdefault("PIL", pil_mod)
+    try:
+        passed, failures, skipped = _replay(
+            _ref("test_born_digital.py"),
+            {
+                "fitz": _rich_fitz_shim(),
+                "BornDigitalDetector": BornDigitalDetector,
+                "DocumentAssessment": DocumentAssessment,
+                "PageAssessment": PageAssessment,
+                "MagicMock": __import__(
+                    "unittest.mock", fromlist=["MagicMock"]
+                ).MagicMock,
+            },
+            per_test_tmp=True,
+        )
+    finally:
+        if not had_pil:
+            _sys.modules.pop("PIL", None)
+    assert not failures, failures
+    assert passed >= 44, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
 # 4. Repair router replay (reference ENGINE tables injected into our policy)
 # ---------------------------------------------------------------------------
 
