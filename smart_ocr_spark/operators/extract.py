@@ -826,9 +826,17 @@ def with_selection(df: DataFrame) -> DataFrame:
         # rasterize.py:17-80): an image-only PDF with no text layer is a
         # DISTINCT graceful failure — the raster ladder isn't available
         # in-kernel (S3 partial-by-design), and folding it into `empty`
-        # would hide the docs a raster-OCR tier should pick up
+        # would hide the docs a raster-OCR tier should pick up.  The
+        # signal columns are optional so reduced frames (unit fixtures)
+        # still select — those simply have no scanned bucket.
         .when(
-            F.col("is_pdf") & (F.col("n_images") > 0) & (F.col("total_chars") == 0),
+            (
+                F.col("is_pdf")
+                & (F.col("n_images") > 0)
+                & (F.col("total_chars") == 0)
+            )
+            if {"is_pdf", "n_images", "total_chars"} <= set(df.columns)
+            else F.lit(False),
             F.lit("failed_scanned"),
         )
         .otherwise(F.lit("empty")),

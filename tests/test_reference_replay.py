@@ -1091,6 +1091,149 @@ def test_reference_repair_router_matrix_passes_verbatim():
 
 
 # ---------------------------------------------------------------------------
+# 4b. Document-state blackboard replay
+# ---------------------------------------------------------------------------
+
+
+class _AttrDict(dict):
+    """dict with attribute access: lets the reference tests' attribute
+    style (`state.pages[1].attempts`) and the kernel's dict row shape be
+    the SAME object, so identity assertions (`attempts[0] is p1`) hold
+    through kernel mutation."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def test_reference_document_state_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import state as state_kernel
+
+    class PageOutput(_AttrDict):
+        def __init__(self, page_num, text="", status=PageStatus.PENDING,
+                     audit_passed=True, engine="", confidence=0.0,
+                     failure_mode=FailureMode.NONE, **kw):
+            super().__init__(
+                page_num=page_num, text=text, status=status,
+                audit_passed=audit_passed, engine=engine,
+                confidence=confidence, failure_mode=failure_mode, **kw,
+            )
+
+        @property
+        def word_count(self):
+            return len(self["text"].split()) if self["text"] else 0
+
+    class EngineResult(_AttrDict):
+        def __init__(self, document_path=None, engine="", status=None,
+                     pages=None, cost=0.0, **kw):
+            super().__init__(
+                document_path=document_path, engine=engine, status=status,
+                pages=pages or [], cost=cost, **kw,
+            )
+
+    class PageState(_AttrDict):
+        def __init__(self, page_num, is_born_digital=False, native_text=None,
+                     needs_ocr_enhancement=False, attempts=None,
+                     best_output=None):
+            base = state_kernel.new_pages(1)[1]
+            base.update(
+                page_num=page_num,
+                is_born_digital=is_born_digital,
+                native_text=native_text,
+                needs_ocr_enhancement=needs_ocr_enhancement,
+                attempts=list(attempts or []),
+                best_output=best_output,
+            )
+            super().__init__(base)
+
+        @property
+        def needs_repair(self):
+            from smart_ocr_spark.kernel.repair import page_needs_repair
+
+            best = self["best_output"]
+            return page_needs_repair(
+                self["is_born_digital"],
+                self["native_text"],
+                self["needs_ocr_enhancement"],
+                len(self["attempts"]),
+                None if best is None else best["audit_passed"],
+            )
+
+    class PageAssessment(_AttrDict):
+        def __init__(self, page_num, is_born_digital, native_text="",
+                     confidence=0.0, **kw):
+            super().__init__(
+                page_num=page_num, is_born_digital=is_born_digital,
+                native_text=native_text, confidence=confidence, **kw,
+            )
+
+    class DocumentAssessment(_AttrDict):
+        def __init__(self, path=None, pages=None, **kw):
+            super().__init__(path=path, pages=pages or [], **kw)
+
+    class DocumentState:
+        def __init__(self, handle, status=DocumentStatus.PENDING,
+                     pages=None, whole_doc_attempts=None, engine_runs=None):
+            self.handle = handle
+            self.status = status
+            self.pages = dict(pages) if pages else {}
+            self.whole_doc_attempts = list(whole_doc_attempts or [])
+            self.engine_runs = list(engine_runs or [])
+            for i in range(1, handle.page_count + 1):
+                if i not in self.pages:
+                    self.pages[i] = PageState(page_num=i)
+
+        def apply_result(self, result):
+            self.engine_runs.append(result)
+            state_kernel.apply_result(
+                self.pages, self.whole_doc_attempts, result["pages"]
+            )
+
+        def apply_born_digital(self, assessment):
+            state_kernel.apply_born_digital(self.pages, assessment["pages"])
+
+        @property
+        def text(self):
+            return state_kernel.assemble_text(
+                self.pages, self.whole_doc_attempts, self.handle.page_count
+            )
+
+        @property
+        def pages_needing_repair(self):
+            return state_kernel.pages_needing_repair(self.pages)
+
+        @property
+        def total_cost(self):
+            return state_kernel.total_cost(self.engine_runs)
+
+        @property
+        def engines_used(self):
+            return state_kernel.engines_used(self.engine_runs)
+
+    passed, failures, skipped = _replay(
+        _ref("test_document_state.py"),
+        {
+            "DocumentAssessment": DocumentAssessment,
+            "PageAssessment": PageAssessment,
+            "DocumentHandle": DocumentHandle,
+            "DocumentStatus": DocumentStatus,
+            "EngineResult": EngineResult,
+            "PageOutput": PageOutput,
+            "PageStatus": PageStatus,
+            "DocumentState": DocumentState,
+            "PageState": PageState,
+        },
+    )
+    assert not failures, failures
+    assert passed >= 41, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
 # 5. Consensus replay
 # ---------------------------------------------------------------------------
 
