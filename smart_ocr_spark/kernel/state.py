@@ -142,6 +142,27 @@ def pages_needing_repair(pages: dict[int, dict]) -> list[int]:
     return out
 
 
+def result_markdown(page_texts: list[str]) -> str:
+    """Engine-run markdown assembly (reference result.py:119-127):
+    empty page texts are skipped; a single text returns as-is; multiple
+    join with the page separator.  This is the per-RUN assembly — the
+    per-DOCUMENT ladder is :func:`assemble_text`."""
+    texts = [t for t in page_texts if t]
+    if not texts:
+        return ""
+    if len(texts) == 1:
+        return texts[0]
+    return PAGE_SEP.join(texts)
+
+
+def page_needs_reprocessing(status_is_error: bool, audit_passed: bool) -> bool:
+    """Per-attempt reprocess predicate (reference result.py:91-94):
+    errored attempts always reprocess; otherwise audit decides."""
+    if status_is_error:
+        return True
+    return not audit_passed
+
+
 def total_cost(engine_runs: list[dict]) -> float:
     """Sum of run costs (reference state.py:166-168; distributed as the
     A4 cost_microusd column)."""

@@ -8,11 +8,21 @@ decision to our kernels:
 
   * test_normalizer.py        -> kernel.normalize.normalize
   * test_audit_heuristics.py  -> kernel.audit.check
+  * test_failure_scorer.py    -> kernel.audit.check / _select_primary /
+                                 _confidence
   * test_chunker.py           -> kernel.chunk (+ kernel.pdf_extract to
                                  re-read the chunk PDFs we write)
+  * test_born_digital.py      -> kernel.assess (cascade + latex P8) +
+                                 kernel.pdf_extract (ruled tables P9,
+                                 structured extraction P14, math fonts
+                                 P7, image/font signals)
   * test_repair_router.py     -> kernel.repair.select_repair_variant
                                  (reference ENGINE tables injected),
                                  page_needs_repair, dominant_failure
+  * test_document_state.py    -> kernel.state (apply_result merge,
+                                 assembly ladder, repair set, lineage)
+  * test_engine_result.py     -> kernel.state.result_markdown /
+                                 page_needs_reprocessing
   * test_consensus.py         -> kernel.score.* + kernel.consensus.
                                  select_best / find_discrepancies
 
@@ -1231,6 +1241,67 @@ def test_reference_document_state_matrix_passes_verbatim():
     )
     assert not failures, failures
     assert passed >= 41, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# 4c. EngineResult contract replay
+# ---------------------------------------------------------------------------
+
+
+def test_reference_engine_result_matrix_passes_verbatim():
+    from smart_ocr_spark.kernel import state as state_kernel
+
+    @dataclass
+    class RPageOutput:
+        page_num: int
+        text: str = ""
+        status: PageStatus = PageStatus.PENDING
+        failure_mode: FailureMode = FailureMode.NONE
+        engine: str = ""
+        error: str = ""
+        confidence: float = 0.0
+        audit_passed: bool = True
+
+        def needs_reprocessing(self) -> bool:
+            return state_kernel.page_needs_reprocessing(
+                self.status == PageStatus.ERROR, self.audit_passed
+            )
+
+    @dataclass
+    class REngineResult:
+        document_path: Path
+        engine: str
+        status: DocumentStatus = DocumentStatus.PENDING
+        failure_mode: FailureMode = FailureMode.NONE
+        pages: list = field(default_factory=list)
+        model_version: str = ""
+        cost: float = 0.0
+        error: str | None = None
+
+        @property
+        def markdown(self) -> str:
+            return state_kernel.result_markdown([p.text for p in self.pages])
+
+        @property
+        def word_count(self) -> int:
+            return len(self.markdown.split()) if self.pages else 0
+
+        @property
+        def success(self) -> bool:
+            return self.status == DocumentStatus.SUCCESS
+
+    passed, failures, skipped = _replay(
+        _ref("test_engine_result.py"),
+        {
+            "DocumentStatus": DocumentStatus,
+            "EngineResult": REngineResult,
+            "FailureMode": FailureMode,
+            "PageOutput": RPageOutput,
+            "PageStatus": PageStatus,
+        },
+    )
+    assert not failures, failures
+    assert passed >= 8, f"only {passed} ran ({skipped})"
 
 
 # ---------------------------------------------------------------------------
