@@ -556,6 +556,44 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data curation): the synthetic corpus has
+    no natural PII, so each doc gets a deterministic planted suffix
+    (doc-keyed email, a phone, an IP) — the scrub must redact exactly
+    those and report per-kind match counts.  All JVM regexp_replace."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call (555) 123-4567; host 192.168.0."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+            F.lit(" ."),
+        ),
+    )
+    return ta.with_pii_redaction(docs).select(
+        "doc_id", "redacted", "n_email", "n_ipv4", "n_phone"
+    )
+
+
+def q_quality_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation end product: docs surviving the quality floor +
+    token floor + language allowlist, with the metrics that kept them."""
+    from smart_ocr_spark.functions import curation
+
+    _ship(spark)
+    return curation.quality_keep_list(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.45,
+        min_tokens=20,
+        langs=["en", "de", "es"],
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import text_analysis as ta
 
@@ -1087,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
+        "text_redact_pii": q_text_redact_pii,
+        "quality_keep_list": q_quality_keep_list,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1697,6 +1737,72 @@ SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
     AS bag_fingerprint
 FROM documents
+""",
+        # chained redaction replays functions/text_analysis.PII_PATTERNS
+        # in order (email -> ip -> phone); counts are on the ORIGINAL
+        # planted text, exactly like with_pii_redaction
+        "text_redact_pii": """
+WITH t AS (SELECT doc_id,
+  text || ' Contact user' || doc_id
+       || '@example.com or call (555) 123-4567; host 192.168.0.'
+       || (doc_id % 250) || ' .' AS text
+  FROM documents),
+r1 AS (SELECT doc_id, text,
+  regexp_replace(text,
+    '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+    '<EMAIL>', 'g') AS s1 FROM t),
+r2 AS (SELECT doc_id, text,
+  regexp_replace(s1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s2
+  FROM r1),
+r3 AS (SELECT doc_id, text,
+  regexp_replace(s2,
+    '(?:\\+?\\d{1,2}[ .\\-])?\\(?\\d{3}\\)?[ .\\-]\\d{3}[ .\\-]\\d{4}\\b',
+    '<PHONE>', 'g') AS redacted FROM r2)
+SELECT doc_id, redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+    AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '(?:\\+?\\d{1,2}[ .\\-])?\\(?\\d{3}\\)?[ .\\-]\\d{3}[ .\\-]\\d{4}\\b'))
+    AS INTEGER) AS n_phone
+FROM r3
+""",
+        # the text_quality ladder + curation filter: quality floor 0.45,
+        # token floor 20, language allowlist
+        "quality_keep_list": f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks,
+  CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+m AS (SELECT doc_id, lang, toks, n_chars,
+  CASE WHEN n_chars > 0 THEN
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,;:!?''"()-]', '', 'g'))
+      AS DOUBLE) / n_chars ELSE 1.0 END AS garbage,
+  CASE WHEN n_chars > 0 THEN
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / n_chars
+    ELSE 0.0 END AS punct,
+  len(regexp_extract_all(lower(text), '\\bthe\\b'))
+  + len(regexp_extract_all(lower(text), '\\ba\\b'))
+  + len(regexp_extract_all(lower(text), '\\ban\\b'))
+  + len(regexp_extract_all(lower(text), '\\bof\\b'))
+  + len(regexp_extract_all(lower(text), '\\bto\\b'))
+  + len(regexp_extract_all(lower(text), '\\band\\b'))
+  + len(regexp_extract_all(lower(text), '\\bin\\b'))
+  + len(regexp_extract_all(lower(text), '\\bis\\b'))
+  + len(regexp_extract_all(lower(text), '\\bit\\b')) AS stop_hits
+  FROM t),
+s AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS token_count,
+  round(
+    0.4 * least(len(toks) / 100.0, 1.0)
+    + 0.3 * (1.0 - least(garbage * 5, 1.0))
+    + 0.2 * least(CASE WHEN len(toks) > 0 THEN stop_hits / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END * 4, 1.0)
+    + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS quality_score
+  FROM m)
+SELECT doc_id, lang, token_count, quality_score
+FROM s
+WHERE quality_score >= 0.45 AND token_count >= 20
+  AND lang IN ('en', 'de', 'es')
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,

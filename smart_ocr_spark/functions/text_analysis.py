@@ -188,6 +188,53 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing) — all JVM regexp_replace.
+# ---------------------------------------------------------------------------
+
+# Deliberately conservative, high-precision patterns: a training-data
+# scrub wants near-zero false positives on code/technical text.  Order
+# matters: emails before phones (an email local part can look like
+# digits), IPs before phones (dotted quads must not half-match).
+PII_PATTERNS = [
+    # (name, java-regex, replacement token)
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        # +1-555-123-4567 / (555) 123-4567 / 555-123-4567 — needs the
+        # full 3-3-4 shape with separators; bare digit runs are left
+        # alone (dates, ids, quantities)
+        r"(?:\+?\d{1,2}[ .\-])?\(?\d{3}\)?[ .\-]\d{3}[ .\-]\d{4}\b",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii_col(text: Column) -> Column:
+    """PII-scrubbed text: chained JVM ``regexp_replace`` — stays inside
+    whole-stage codegen, no Python in the path.  At 100 TB this is a
+    map-only column projection."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``redacted`` text plus per-kind match counts (the counts feed the
+    no-silent-caps rule: a corpus-level scrub must report how much it
+    changed)."""
+    out = df.withColumn("redacted", redact_pii_col(F.col(text_col)))
+    for name, pattern, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            # idx=0 = whole match (Spark defaults to capture group 1)
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)),
+        )
+    return out
+
+
 def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token list. Cheap exact near-dup key robust to shuffling/word order."""

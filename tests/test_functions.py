@@ -196,6 +196,53 @@ def test_degenerate_bucket_guard(spark, caplog):
     assert covered == n
 
 
+def test_pii_redaction(spark):
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    rows = [
+        (0, "Mail me at alice.smith+x@sub.example.org today"),
+        (1, "Call (555) 123-4567 or +1 555.987.6543 now"),
+        (2, "Server at 10.0.0.1 and 192.168.100.200 responded"),
+        (3, "No pii here, just the number 12345 and v1.2 notation"),
+        (4, "combo: bob@x.io, 555-111-2222, 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ta.with_pii_redaction(df).collect()}
+    assert "<EMAIL>" in out[0].redacted and out[0].n_email == 1
+    assert "alice" not in out[0].redacted
+    assert out[1].redacted.count("<PHONE>") == 2 and out[1].n_phone == 2
+    assert out[2].redacted.count("<IP>") == 2 and out[2].n_ipv4 == 2
+    # precision: plain numbers / version strings must be untouched
+    assert out[3].redacted == rows[3][1]
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+    assert all(t in out[4].redacted for t in ("<EMAIL>", "<PHONE>", "<IP>"))
+
+
+def test_quality_keep_list(spark, caplog):
+    import logging
+
+    from smart_ocr_spark.functions import curation
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "to read the news of the town in the morning paper with coffee"
+    )
+    rows = [
+        (0, good, "en"),
+        (1, "x y z", "en"),                      # token floor
+        (2, good, "fr"),                         # lang allowlist
+        (3, "\u2593\u2593 \u25c9\u25c9 \u2637\u2637 " * 30, "en"),  # garbage-heavy
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    with caplog.at_level(logging.WARNING, logger="smart_ocr_spark.functions.curation"):
+        kept = curation.quality_keep_list(
+            df, min_quality=0.5, min_tokens=10, langs=["en"], log_drops=True
+        ).collect()
+    assert [r.doc_id for r in kept] == [0]
+    assert kept[0].token_count >= 10 and kept[0].quality_score >= 0.5
+    assert any("kept 1 / 4" in r.message for r in caplog.records)
+
+
 def test_multimodal_meta_and_features(spark):
     rows = [
         ("u1", "image", b"\x89PNG\r\n" + b"x" * 100),
