@@ -149,3 +149,23 @@ def test_fanout_udf_evaluated_once(spark):
         "(inferred generate filter is re-evaluating the UDF)\n" + plan
     )
     assert "size(pythonUDF" not in plan, plan
+
+
+def test_pii_redaction_stays_jvm_side(spark):
+    """The scrub is a chained regexp_replace projection: NO Python
+    evaluation node may appear (a per-row UDF here would be the classic
+    100-TB slow path), and the scan must prune to the used columns."""
+    plan = plan_of(em.q_text_redact_pii(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in scan and "doc_id" in scan
+
+
+def test_quality_keep_list_pushes_lang_filter(spark):
+    """The language allowlist is a plain column predicate — it must
+    reach the parquet scan as a pushed filter instead of surviving as a
+    post-scan Filter over all rows."""
+    plan = plan_of(em.q_quality_keep_list(spark, SF))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "lang" in pushed, pushed
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
