@@ -1305,6 +1305,179 @@ def test_reference_engine_result_matrix_passes_verbatim():
 
 
 # ---------------------------------------------------------------------------
+# 4d. Benchmark harness replay (dataset / ground truth / scorer)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_benchmark_matrix_passes_verbatim():
+    import json as _json
+
+    from smart_ocr_spark.kernel import score as score_kernel
+    from smart_ocr_spark.kernel.pdf_extract import extract_pdf
+
+    @dataclass
+    class BenchmarkPaper:
+        name: str
+        pdf_path: Path
+        category: str
+        page_count: int
+        ground_truth_path: Path | None = None
+        notes: str = ""
+
+        def __post_init__(self):
+            self.pdf_path = Path(self.pdf_path)
+
+    @dataclass
+    class BenchmarkSet:
+        papers: list = field(default_factory=list)
+        # auto-populated like the reference's timestamp default; a fixed
+        # value keeps the replay deterministic (no Date.now in tests)
+        created: str = "2026-01-01T00:00:00"
+
+        def by_category(self):
+            groups = {}
+            for p in self.papers:
+                groups.setdefault(p.category, []).append(p)
+            return groups
+
+        def save(self, path: Path):
+            data = {
+                "created": self.created,
+                "papers": [
+                    {
+                        "name": p.name,
+                        "pdf_path": str(p.pdf_path),
+                        "category": p.category,
+                        "page_count": p.page_count,
+                        "ground_truth_path": (
+                            str(p.ground_truth_path)
+                            if p.ground_truth_path else None
+                        ),
+                        "notes": p.notes,
+                    }
+                    for p in self.papers
+                ],
+            }
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(_json.dumps(data, indent=2) + "\n")
+
+        @classmethod
+        def load(cls, path: Path):
+            data = _json.loads(Path(path).read_text())
+            papers = [
+                BenchmarkPaper(
+                    name=p["name"],
+                    pdf_path=Path(p["pdf_path"]),
+                    category=p["category"],
+                    page_count=p["page_count"],
+                    ground_truth_path=(
+                        Path(p["ground_truth_path"])
+                        if p.get("ground_truth_path") else None
+                    ),
+                    notes=p.get("notes", ""),
+                )
+                for p in data["papers"]
+            ]
+            return cls(papers=papers, created=data["created"])
+
+    @dataclass
+    class PageGroundTruth:
+        page_num: int
+        text: str
+        word_count: int
+        char_count: int
+
+    class GroundTruthExtractor:
+        """S8/P18: per-page native text via OUR PDF kernel."""
+
+        def extract(self, pdf_path: Path):
+            pdf_path = Path(pdf_path)
+            if not pdf_path.exists():
+                raise FileNotFoundError(f"PDF not found: {pdf_path}")
+            _, signals = extract_pdf(pdf_path.read_bytes(), "basic")
+            return [
+                PageGroundTruth(
+                    page_num=i,
+                    text=t.strip(),
+                    word_count=len(t.split()) if t else 0,
+                    char_count=len(t.strip()),
+                )
+                for i, t in enumerate(signals["page_texts"], start=1)
+            ]
+
+        def save(self, truths, output_dir: Path):
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+            full = []
+            for gt in truths:
+                (output_dir / f"page_{gt.page_num}.txt").write_text(
+                    gt.text, encoding="utf-8"
+                )
+                if gt.text:
+                    full.append(gt.text)
+            (output_dir / "full.txt").write_text(
+                "\n\n".join(full), encoding="utf-8"
+            )
+
+        def extract_and_save(self, pdf_path, output_dir):
+            truths = self.extract(pdf_path)
+            self.save(truths, output_dir)
+            return truths
+
+    @dataclass
+    class PageScore:
+        page_num: int
+        word_error_rate: float
+        character_error_rate: float
+        normalized_edit_similarity: float
+        word_count_ratio: float
+
+    class BenchmarkScorer:
+        def score(self, predicted, ground_truth):
+            return score_kernel.wer_cased(predicted, ground_truth)
+
+        def score_cer(self, predicted, ground_truth):
+            return score_kernel.cer(predicted, ground_truth)
+
+        def score_nes(self, predicted, ground_truth):
+            return score_kernel.nes(predicted, ground_truth)
+
+        def score_page(self, predicted, ground_truth, page_num):
+            ref_wc = len(ground_truth.split()) if ground_truth else 0
+            hyp_wc = len(predicted.split()) if predicted else 0
+            return PageScore(
+                page_num=page_num,
+                word_error_rate=self.score(predicted, ground_truth),
+                character_error_rate=self.score_cer(predicted, ground_truth),
+                normalized_edit_similarity=self.score_nes(
+                    predicted, ground_truth
+                ),
+                word_count_ratio=(
+                    hyp_wc / ref_wc
+                    if ref_wc > 0
+                    else (0.0 if not hyp_wc else float("inf"))
+                ),
+            )
+
+    passed, failures, skipped = _replay(
+        _ref("test_benchmark.py"),
+        {
+            "fitz": _rich_fitz_shim(),
+            "json": _json,
+            "tempfile": tempfile,
+            "BenchmarkPaper": BenchmarkPaper,
+            "BenchmarkSet": BenchmarkSet,
+            "GroundTruthExtractor": GroundTruthExtractor,
+            "BenchmarkScorer": BenchmarkScorer,
+            "_levenshtein": score_kernel.levenshtein,
+        },
+        per_test_tmp=True,
+    )
+    assert not failures, failures
+    assert passed >= 20, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
 # 5. Consensus replay
 # ---------------------------------------------------------------------------
 
