@@ -124,30 +124,27 @@ def recommended_chains(calibration: DataFrame) -> dict[str, list[str]]:
     average WER across all categories.  The calibration frame is tiny
     (variants x categories), so this is a driver-side fold; the result
     feeds ``run_extraction(chain=...)``."""
+    from smart_ocr_spark.kernel import calibrate as calibrate_kernel
     from smart_ocr_spark.kernel.repair import DEFAULT_CHAIN
 
     rows = calibration.select("variant", "category", "avg_wer").collect()
-    by_cat: dict[str, list[tuple[float, str]]] = {}
-    wers_by_variant: dict[str, list[float]] = {}
+    profiles: dict[str, dict] = {}
+    cats: set[str] = set()
     for r in rows:
-        by_cat.setdefault(r["category"], []).append(
-            (float(r["avg_wer"]), r["variant"])
+        prof = profiles.setdefault(
+            r["variant"], {"engine": r["variant"], "category_wer": {}}
         )
-        wers_by_variant.setdefault(r["variant"], []).append(float(r["avg_wer"]))
-    overall = {
-        v: (sum(ws) / len(ws) if ws else 1.0)
-        for v, ws in wers_by_variant.items()
+        prof["category_wer"][r["category"]] = float(r["avg_wer"])
+        cats.add(r["category"])
+    # default-chain variants with no calibration data still belong in the
+    # chain tail (ranked by the no-data rule)
+    for v in DEFAULT_CHAIN:
+        profiles.setdefault(v, {"engine": v, "category_wer": {}})
+    plist = [profiles[v] for v in sorted(profiles)]
+    return {
+        cat: calibrate_kernel.rank_engines_for_category(cat, plist)
+        for cat in cats
     }
-    all_variants = set(DEFAULT_CHAIN) | set(overall)
-    chains: dict[str, list[str]] = {}
-    for cat, with_data in by_cat.items():
-        with_data.sort()
-        have = {v for _, v in with_data}
-        without = sorted(
-            (overall.get(v, 1.0), v) for v in all_variants - have
-        )
-        chains[cat] = [v for _, v in with_data] + [v for _, v in without]
-    return chains
 
 
 def save_results(results: dict[str, DataFrame], out_dir: str) -> None:

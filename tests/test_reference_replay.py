@@ -88,13 +88,45 @@ def _replay(path: str, namespace: dict, per_test_tmp: bool = False):
     # caller shims take precedence over same-named reference helpers
     # (test_normalizer.py defines its own `_n` that imports socr)
     base.update(namespace)
+    import types as _types
+
+    tests: list[tuple[ast.FunctionDef, list[ast.FunctionDef]]] = []
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name.startswith("test"):
+            tests.append((node, []))
+        elif isinstance(node, ast.ClassDef):
+            # non-test methods (e.g. _make_synthetic_results) become
+            # bound helpers on the `self` the test body receives
+            helper_defs = [
+                s
+                for s in node.body
+                if isinstance(s, ast.FunctionDef)
+                and not s.name.startswith("test")
+            ]
+            for s in node.body:
+                if isinstance(s, ast.FunctionDef) and s.name.startswith("test"):
+                    tests.append((s, helper_defs))
     passed, failures, skipped = 0, [], []
-    for node in ast.walk(tree):
-        if not (isinstance(node, ast.FunctionDef) and node.name.startswith("test")):
-            continue
+    for node, helper_defs in tests:
         ns = dict(base)
         if per_test_tmp:
             ns["tmp_path"] = Path(tempfile.mkdtemp(prefix="refreplay_"))
+        if helper_defs:
+            self_obj = _types.SimpleNamespace()
+            for h in helper_defs:
+                hns = dict(ns)
+                exec(
+                    compile(
+                        ast.Module(body=[h], type_ignores=[]),
+                        f"<ref-method:{h.name}>",
+                        "exec",
+                    ),
+                    hns,
+                )
+                setattr(
+                    self_obj, h.name, _types.MethodType(hns[h.name], self_obj)
+                )
+            ns["self"] = self_obj
         body = ast.Module(body=node.body, type_ignores=[])
         code = compile(body, f"<ref:{node.name}>", "exec")
         try:
@@ -1474,7 +1506,301 @@ def test_reference_benchmark_matrix_passes_verbatim():
         per_test_tmp=True,
     )
     assert not failures, failures
-    assert passed >= 20, f"only {passed} ran ({skipped})"
+    assert passed >= 24, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# 4e. Benchmark runner / calibrator replay
+# ---------------------------------------------------------------------------
+
+
+def test_reference_benchmark_runner_matrix_passes_verbatim():
+    import json as _json
+
+    from smart_ocr_spark.kernel import calibrate as calibrate_kernel
+
+    @dataclass
+    class PageScore:
+        page_num: int
+        word_error_rate: float
+        character_error_rate: float
+        normalized_edit_similarity: float
+        word_count_ratio: float
+
+    @dataclass
+    class DocumentScore:
+        paper_name: str
+        engine: str
+        pages: list = field(default_factory=list)
+        overall_wer: float = 0.0
+        overall_cer: float = 0.0
+        overall_nes: float = 0.0
+        processing_time: float = 0.0
+
+    @dataclass
+    class REngineResult:
+        document_path: Path
+        engine: str
+        status: DocumentStatus = DocumentStatus.PENDING
+        failure_mode: FailureMode = FailureMode.NONE
+        pages: list = field(default_factory=list)
+        error: str | None = None
+        processing_time: float = 0.0
+
+        @property
+        def success(self):
+            return self.status == DocumentStatus.SUCCESS
+
+        @property
+        def word_count(self):
+            texts = [p.text for p in self.pages if p.text]
+            return len(" ".join(texts).split()) if texts else 0
+
+    def _score_to_dict(score):
+        return {
+            "paper_name": score.paper_name,
+            "engine": score.engine,
+            "overall_wer": score.overall_wer,
+            "overall_cer": score.overall_cer,
+            "overall_nes": score.overall_nes,
+            "processing_time": score.processing_time,
+            "pages": [
+                {
+                    "page_num": p.page_num,
+                    "word_error_rate": p.word_error_rate,
+                    "character_error_rate": p.character_error_rate,
+                    "normalized_edit_similarity": p.normalized_edit_similarity,
+                    "word_count_ratio": p.word_count_ratio,
+                }
+                for p in score.pages
+            ],
+        }
+
+    def _dict_to_score(d):
+        return DocumentScore(
+            paper_name=d["paper_name"],
+            engine=d["engine"],
+            overall_wer=d["overall_wer"],
+            overall_cer=d["overall_cer"],
+            overall_nes=d.get("overall_nes", 0.0),
+            processing_time=d.get("processing_time", 0.0),
+            pages=[PageScore(**p) for p in d.get("pages", [])],
+        )
+
+    @dataclass
+    class EngineRun:
+        paper_name: str
+        engine: str
+        result: REngineResult
+        score: DocumentScore | None = None
+
+    @dataclass
+    class BenchmarkResults:
+        runs: list = field(default_factory=list)
+        # fixed deterministic auto-populate (reference: utcnow)
+        timestamp: str = "2026-01-01T00:00:00+00:00"
+
+        def by_engine(self):
+            groups = {}
+            for run in self.runs:
+                groups.setdefault(run.engine, []).append(run)
+            return groups
+
+        def by_paper(self):
+            groups = {}
+            for run in self.runs:
+                groups.setdefault(run.paper_name, []).append(run)
+            return groups
+
+        def save(self, path: Path):
+            data = {
+                "timestamp": self.timestamp,
+                "runs": [
+                    {
+                        "paper_name": r.paper_name,
+                        "engine": r.engine,
+                        "success": r.result.success,
+                        "failure_mode": r.result.failure_mode.value,
+                        "processing_time": r.result.processing_time,
+                        "word_count": r.result.word_count,
+                        "score": _score_to_dict(r.score) if r.score else None,
+                    }
+                    for r in self.runs
+                ],
+            }
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(_json.dumps(data, indent=2) + "\n")
+
+        @classmethod
+        def load(cls, path: Path):
+            data = _json.loads(Path(path).read_text())
+            runs = []
+            for e in data["runs"]:
+                runs.append(
+                    EngineRun(
+                        paper_name=e["paper_name"],
+                        engine=e["engine"],
+                        result=REngineResult(
+                            document_path=Path(e["paper_name"]),
+                            engine=e["engine"],
+                            status=(
+                                DocumentStatus.SUCCESS
+                                if e["success"]
+                                else DocumentStatus.ERROR
+                            ),
+                            failure_mode=FailureMode(
+                                e.get("failure_mode", "none")
+                            ),
+                            processing_time=e.get("processing_time", 0.0),
+                        ),
+                        score=(
+                            _dict_to_score(e["score"]) if e.get("score") else None
+                        ),
+                    )
+                )
+            return cls(runs=runs, timestamp=data["timestamp"])
+
+    @dataclass
+    class EngineProfile:
+        engine: str
+        category_wer: dict = field(default_factory=dict)
+        failure_mode_recovery: dict = field(default_factory=dict)
+        avg_processing_time: float = 0.0
+
+    @dataclass
+    class CalibrationReport:
+        profiles: list = field(default_factory=list)
+        recommended_chain: dict = field(default_factory=dict)
+
+        def save(self, path: Path):
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(
+                _json.dumps(
+                    {
+                        "profiles": [
+                            {
+                                "engine": p.engine,
+                                "category_wer": p.category_wer,
+                                "failure_mode_recovery": p.failure_mode_recovery,
+                                "avg_processing_time": p.avg_processing_time,
+                            }
+                            for p in self.profiles
+                        ],
+                        "recommended_chain": self.recommended_chain,
+                    },
+                    indent=2,
+                )
+                + "\n"
+            )
+
+        @classmethod
+        def load(cls, path: Path):
+            data = _json.loads(Path(path).read_text())
+            return cls(
+                profiles=[EngineProfile(**p) for p in data["profiles"]],
+                recommended_chain=data["recommended_chain"],
+            )
+
+    @dataclass
+    class PipelineConfig:
+        primary_engine: EngineType = EngineType.AUTO
+        fallback_chain: list = field(default_factory=list)
+        enabled_engines: list = field(default_factory=list)
+
+    def _run_row(run):
+        return {
+            "paper_name": run.paper_name,
+            "failure_mode": run.result.failure_mode.value,
+            "processing_time": run.result.processing_time,
+            "wer": run.score.overall_wer if run.score else None,
+        }
+
+    def _pdict(p: EngineProfile) -> dict:
+        return {"engine": p.engine, "category_wer": p.category_wer}
+
+    class RepairCalibrator:
+        def calibrate(self, results):
+            profiles = [
+                EngineProfile(
+                    **calibrate_kernel.build_profile(
+                        engine, [_run_row(r) for r in runs]
+                    )
+                )
+                for engine, runs in sorted(results.by_engine().items())
+            ]
+            pd = [_pdict(p) for p in profiles]
+            return CalibrationReport(
+                profiles=profiles,
+                recommended_chain={
+                    "_all": calibrate_kernel.rank_engines_for_category(
+                        "_all", pd
+                    )
+                },
+            )
+
+        def calibrate_with_categories(self, results, paper_categories):
+            profiles = [
+                EngineProfile(
+                    **calibrate_kernel.build_profile(
+                        engine,
+                        [_run_row(r) for r in runs],
+                        paper_categories=paper_categories,
+                    )
+                )
+                for engine, runs in sorted(results.by_engine().items())
+            ]
+            pd = [_pdict(p) for p in profiles]
+            return CalibrationReport(
+                profiles=profiles,
+                recommended_chain={
+                    cat: calibrate_kernel.rank_engines_for_category(cat, pd)
+                    for cat in sorted(set(paper_categories.values()))
+                },
+            )
+
+        def apply_to_config(self, report, config):
+            if not report.profiles:
+                return config
+            ranked = calibrate_kernel.rank_overall(
+                [_pdict(p) for p in report.profiles]
+            )
+            valid = [
+                EngineType(e)
+                for e in ranked
+                if e in EngineType._value2member_map_
+            ]
+            if valid:
+                config.primary_engine = valid[0]
+                config.fallback_chain = valid[1:]
+            return config
+
+    passed, failures, skipped = _replay(
+        _ref("test_benchmark_runner.py"),
+        {
+            "json": _json,
+            "BenchmarkResults": BenchmarkResults,
+            "BenchmarkPaper": None,   # runner-mock tests skip on use
+            "BenchmarkSet": None,
+            "CalibrationReport": CalibrationReport,
+            "DocumentScore": DocumentScore,
+            "DocumentStatus": DocumentStatus,
+            "EngineProfile": EngineProfile,
+            "EngineResult": REngineResult,
+            "EngineRun": EngineRun,
+            "EngineType": EngineType,
+            "FailureMode": FailureMode,
+            "PageOutput": PageOutput,
+            "PageScore": PageScore,
+            "PageStatus": PageStatus,
+            "PipelineConfig": PipelineConfig,
+            "RepairCalibrator": RepairCalibrator,
+            "_score_to_dict": _score_to_dict,
+            "_dict_to_score": _dict_to_score,
+        },
+        per_test_tmp=True,
+    )
+    assert not failures, failures
+    assert passed >= 19, f"only {passed} ran ({skipped})"
 
 
 # ---------------------------------------------------------------------------
