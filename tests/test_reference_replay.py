@@ -127,10 +127,26 @@ def _replay(path: str, namespace: dict, per_test_tmp: bool = False):
                     self_obj, h.name, _types.MethodType(hns[h.name], self_obj)
                 )
             ns["self"] = self_obj
-        body = ast.Module(body=node.body, type_ignores=[])
-        code = compile(body, f"<ref:{node.name}>", "exec")
+        # wrap the body in a synthetic zero-arg function: exec'ing the
+        # raw body at module level breaks `nonlocal` closures some tests
+        # use; free names (self, tmp_path, shims) still resolve to ns
+        wrapper = ast.FunctionDef(
+            name="__reftest__",
+            args=ast.arguments(
+                posonlyargs=[], args=[], kwonlyargs=[], kw_defaults=[],
+                defaults=[],
+            ),
+            body=node.body,
+            decorator_list=[],
+            returns=None,
+        )
+        ast.copy_location(wrapper, node)
+        mod = ast.Module(body=[wrapper], type_ignores=[])
+        ast.fix_missing_locations(mod)
+        code = compile(mod, f"<ref:{node.name}>", "exec")
         try:
             exec(code, ns)
+            ns["__reftest__"]()
             passed += 1
         except AssertionError as e:
             failures.append((node.name, str(e)[:200]))
@@ -154,6 +170,7 @@ class DocumentStatus(str, enum.Enum):
     PENDING = "pending"
     SUCCESS = "success"
     ERROR = "error"
+    AUDIT_FAILED = "audit_failed"
 
 
 class FailureMode(str, enum.Enum):
@@ -1801,6 +1818,519 @@ def test_reference_benchmark_runner_matrix_passes_verbatim():
     )
     assert not failures, failures
     assert passed >= 19, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# 4f. Orchestrator replay (5-phase per-document control flow)
+# ---------------------------------------------------------------------------
+
+
+_ORCH_MOD = "socr.pipeline.orchestrator"
+
+
+def _install_fake_socr_modules():
+    """Register socr.pipeline.orchestrator as a module whose attributes
+    the shim pipeline reads at CALL time, so the reference tests'
+    patch("socr.pipeline.orchestrator.get_engine", ...) land on the
+    exact seam our shim consumes."""
+    import sys as _sys
+    import types as _types
+
+    created = []
+    for name in ("socr", "socr.pipeline", _ORCH_MOD):
+        if name not in _sys.modules:
+            _sys.modules[name] = _types.ModuleType(name)
+            created.append(name)
+    orch = _sys.modules[_ORCH_MOD]
+
+    def _no_engine(engine_type):  # only reachable unpatched
+        raise RuntimeError("no real engines in the replay harness")
+
+    class _DefaultMeta:
+        def __init__(self, out_dir):
+            pass
+
+        def is_processed(self, pdf):
+            return False
+
+        def record(self, pdf, **kw):
+            pass
+
+    orch.get_engine = _no_engine
+    orch.MetadataManager = _DefaultMeta
+    orch.FigureExtractor = type("FigureExtractor", (), {})
+    return created
+
+
+def test_reference_orchestrator_matrix_passes_verbatim():
+    import sys as _sys
+
+    from smart_ocr_spark.kernel import audit as audit_kernel
+    from smart_ocr_spark.kernel import orchestrate as orch_kernel
+    from smart_ocr_spark.kernel import repair as repair_kernel
+    from smart_ocr_spark.kernel import state as kstate
+    from smart_ocr_spark.kernel.normalize import sanitize_filename, strip_phantom_images
+
+    class OPageOutput(_AttrDict):
+        def __init__(self, page_num, text="", status=PageStatus.PENDING,
+                     failure_mode=FailureMode.NONE, engine="",
+                     processing_time=0.0, error="", confidence=0.0,
+                     audit_passed=True, escalated_from="", **kw):
+            super().__init__(
+                page_num=page_num, text=text, status=status,
+                failure_mode=failure_mode, engine=engine,
+                processing_time=processing_time, error=error,
+                confidence=confidence, audit_passed=audit_passed,
+                escalated_from=escalated_from, **kw,
+            )
+
+        @property
+        def word_count(self):
+            return len(self["text"].split()) if self["text"] else 0
+
+    class OEngineResult(_AttrDict):
+        def __init__(self, document_path=None, engine="", status=DocumentStatus.PENDING,
+                     failure_mode=FailureMode.NONE, pages=None, error=None,
+                     processing_time=0.0, pages_processed=0, cost=0.0,
+                     model_version="", audit_passed=True, **kw):
+            super().__init__(
+                document_path=document_path, engine=engine, status=status,
+                failure_mode=failure_mode, pages=pages or [], error=error,
+                processing_time=processing_time,
+                pages_processed=pages_processed, cost=cost,
+                model_version=model_version, audit_passed=audit_passed, **kw,
+            )
+
+        @property
+        def success(self):
+            return self["status"] == DocumentStatus.SUCCESS
+
+        @property
+        def markdown(self):
+            return kstate.result_markdown([p["text"] for p in self["pages"]])
+
+        @property
+        def word_count(self):
+            return len(self.markdown.split()) if self["pages"] else 0
+
+    class OPageState(_AttrDict):
+        def __init__(self, page_num, **kw):
+            base = kstate.new_pages(1)[1]
+            base["page_num"] = page_num
+            base.update(kw)
+            super().__init__(base)
+
+        @property
+        def needs_repair(self):
+            best = self["best_output"]
+            return repair_kernel.page_needs_repair(
+                self["is_born_digital"], self["native_text"],
+                self["needs_ocr_enhancement"], len(self["attempts"]),
+                None if best is None else best["audit_passed"],
+            )
+
+    @dataclass
+    class ODocumentHandle:
+        path: Path
+        page_count: int = 0
+
+        def __post_init__(self):
+            pass
+
+        @property
+        def stem(self):
+            return Path(self.path).stem
+
+        @classmethod
+        def from_path(cls, path):  # patched by the full-loop tests
+            raise FileNotFoundError(path)
+
+    class ODocumentState:
+        def __init__(self, handle):
+            self.handle = handle
+            self._doc = orch_kernel.new_document(handle.path, handle.page_count)
+            self._doc["pages"] = {
+                i: OPageState(page_num=i)
+                for i in range(1, handle.page_count + 1)
+            }
+
+        @property
+        def pages(self):
+            return self._doc["pages"]
+
+        @property
+        def whole_doc_attempts(self):
+            return self._doc["whole_doc_attempts"]
+
+        @property
+        def engine_runs(self):
+            return self._doc["engine_runs"]
+
+        @property
+        def status(self):
+            return self._doc["status"]
+
+        @status.setter
+        def status(self, v):
+            self._doc["status"] = v
+
+        def apply_result(self, result):
+            self._doc["engine_runs"].append(result)
+            kstate.apply_result(
+                self._doc["pages"], self._doc["whole_doc_attempts"],
+                result["pages"],
+            )
+
+        def apply_born_digital(self, assessment):
+            kstate.apply_born_digital(self._doc["pages"], assessment["pages"])
+
+        @property
+        def text(self):
+            return kstate.assemble_text(
+                self._doc["pages"], self._doc["whole_doc_attempts"],
+                self.handle.page_count,
+            )
+
+        @property
+        def pages_needing_repair(self):
+            return kstate.pages_needing_repair(self._doc["pages"])
+
+        @property
+        def engines_used(self):
+            return kstate.engines_used(self._doc["engine_runs"])
+
+        @property
+        def total_cost(self):
+            return kstate.total_cost(self._doc["engine_runs"])
+
+    class OPageAssessment(_AttrDict):
+        def __init__(self, page_num, is_born_digital, native_text="",
+                     confidence=0.0, needs_ocr_enhancement=False, **kw):
+            super().__init__(
+                page_num=page_num, is_born_digital=is_born_digital,
+                native_text=native_text, confidence=confidence,
+                needs_ocr_enhancement=needs_ocr_enhancement, **kw,
+            )
+
+    class ODocumentAssessment(_AttrDict):
+        def __init__(self, path=None, pages=None, **kw):
+            super().__init__(path=path, pages=pages or [], **kw)
+
+        @property
+        def born_digital_count(self):
+            return sum(1 for p in self["pages"] if p["is_born_digital"])
+
+        @property
+        def page_count(self):
+            return len(self["pages"])
+
+        @property
+        def scanned_count(self):
+            return self.page_count - self.born_digital_count
+
+    @dataclass
+    class OPipelineConfig:
+        primary_engine: EngineType = EngineType.AUTO
+        fallback_chain: list = field(default_factory=list)
+        enabled_engines: list = field(default_factory=list)
+        audit_enabled: bool = True
+        audit_min_words: int = 50
+        native_first: bool = True
+        tiered: bool = False
+        max_retries: int = 2
+        truncation_retries: int = 1
+        chunk_threshold: int = 30
+        render_dpi: int = 200
+        save_figures: bool = False
+        consensus_enabled: bool = False
+        multi_engine: list = field(default_factory=list)
+        quiet: bool = True
+        dry_run: bool = False
+        reprocess: bool = False
+        verbose: bool = False
+        output_dir: Path = Path("/tmp/out")
+
+    class _Scoring:
+        def __init__(self, chk):
+            self.passed = chk["audit_passed"]
+            self.primary_failure = FailureMode(chk["primary_failure"])
+            self.details = {}
+
+    class OHeuristicsChecker:
+        def __init__(self, min_word_count=50):
+            self.min_word_count = min_word_count
+
+    class OFailureModeScorer:
+        def __init__(self, checker=None):
+            self.checker = checker or OHeuristicsChecker()
+
+        def score(self, text, engine="", expected_pages=0):
+            return _Scoring(
+                audit_kernel.check(
+                    text, expected_pages=expected_pages,
+                    min_word_count=self.checker.min_word_count,
+                )
+            )
+
+    class OBornDigitalDetector:
+        def detect(self, pdf_path):  # tests replace with a MagicMock
+            raise FileNotFoundError(pdf_path)
+
+    @dataclass
+    class _Repair:
+        page_num: int
+        engine: EngineType
+        reason: str
+
+    class _Plan:
+        def __init__(self):
+            self.repairs = []
+            self.pages_skipped = []
+
+        @property
+        def is_empty(self):
+            return not self.repairs
+
+        @property
+        def by_engine(self):
+            groups = {}
+            for r in self.repairs:
+                groups.setdefault(r.engine, []).append(r)
+            return groups
+
+    class ORouter:
+        def __init__(self, config):
+            self.config = config
+
+        def _full_chain(self):
+            seen, out = set(), []
+            for e in [
+                *self.config.fallback_chain,
+                self.config.primary_engine,
+                *self.config.enabled_engines,
+            ]:
+                if e not in seen:
+                    out.append(e)
+                    seen.add(e)
+            return out
+
+        def plan_repairs_doc(self, doc):
+            plan = _Plan()
+            for page_num, ps in sorted(doc["pages"].items()):
+                best = ps["best_output"]
+                if not repair_kernel.page_needs_repair(
+                    ps["is_born_digital"], ps["native_text"],
+                    ps["needs_ocr_enhancement"], len(ps["attempts"]),
+                    None if best is None else best["audit_passed"],
+                ):
+                    continue
+                failure = repair_kernel.dominant_failure(
+                    [a["failure_mode"] for a in ps["attempts"]]
+                )
+                tried = {
+                    a["engine"]
+                    for a in ps["attempts"]
+                    if a["engine"] in EngineType._value2member_map_
+                }
+                picked = repair_kernel.select_repair_variant(
+                    str(failure.value if hasattr(failure, "value") else failure),
+                    tried,
+                    chain=[e.value for e in self._full_chain()],
+                    families=_REF_FAMILIES,
+                    cloud=_REF_CLOUD,
+                    light=_REF_LIGHT,
+                    capable=_REF_CAPABLE,
+                )
+                if picked is None:
+                    plan.pages_skipped.append(page_num)
+                else:
+                    plan.repairs.append(
+                        _Repair(
+                            page_num=page_num,
+                            engine=EngineType(picked),
+                            reason=repair_kernel.build_reason(
+                                str(failure), tried, picked
+                            ),
+                        )
+                    )
+            return plan
+
+    class UnifiedPipeline:
+        def __init__(self, config):
+            self.config = config
+            self.heuristics = OHeuristicsChecker(
+                min_word_count=config.audit_min_words
+            )
+            self.scorer = OFailureModeScorer(checker=self.heuristics)
+            self.repair_router = ORouter(config)
+            self.bd_detector = OBornDigitalDetector()
+            self._last_assessment = None
+
+        @staticmethod
+        def _get_engine(engine_type):
+            # resolved through the fake socr module so patch() lands here
+            return _sys.modules[_ORCH_MOD].get_engine(engine_type)
+
+        def _phase_analyze(self, state):
+            assessment = self.bd_detector.detect(state.handle.path)
+            self._last_assessment = assessment
+            orch_kernel.phase_analyze(state._doc, assessment)
+
+        def _phase_backbone(self, state, output_dir):
+            return orch_kernel.phase_backbone(
+                state._doc, self.config, self._get_engine, self.scorer,
+                OPageOutput, OEngineResult,
+                # bound-method seam so patch.object(pipeline,
+                # "_backbone_native_first") intercepts the routing
+                native_first_fn=lambda: self._backbone_native_first(
+                    state, output_dir
+                ),
+            )
+
+        def _backbone_native_first(self, state, output_dir):
+            return orch_kernel._backbone_native_first(
+                state._doc, self.config, self._get_engine, self.scorer,
+                OPageOutput, OEngineResult,
+            )
+
+        def _phase_score(self, state, backbone_result):
+            orch_kernel.phase_score(
+                state._doc, self.config, backbone_result, self.scorer
+            )
+
+        def _phase_repair(self, state, output_dir):
+            orch_kernel.phase_repair(
+                state._doc, self.config, self._get_engine, self.scorer,
+                self.repair_router, OEngineResult,
+            )
+
+        def _backbone_multi_engine(self, state, output_dir):
+            return orch_kernel.backbone_multi_engine(
+                state._doc, self.config, self._get_engine, OEngineResult
+            )
+
+        def _phase_score_multi(self, state, backbone_results):
+            orch_kernel.phase_score_multi(
+                state._doc, self.config, backbone_results, self.scorer
+            )
+
+        def _phase_consensus(self, state):
+            return orch_kernel.phase_consensus(
+                state._doc, self.config, OPageOutput
+            )
+
+        def _phase_assemble(self, state, output_dir):
+            result = orch_kernel.phase_assemble(
+                state._doc, self.config, OPageOutput, OEngineResult,
+                normalize_fn=strip_phantom_images,
+            )
+            final_text = result["pages"][0]["text"]
+            if self.config.save_figures and final_text.strip():
+                # reference orchestrator.py:1300-1316 figure hook; the
+                # patched-in extractor is resolved through the fake
+                # module like get_engine
+                extractor = _sys.modules[_ORCH_MOD].FigureExtractor(
+                    max_total=getattr(self.config, "figures_max_total", 25),
+                    max_per_page=getattr(self.config, "figures_max_per_page", 3),
+                    save_dir=Path(output_dir)
+                    / sanitize_filename(state.handle.stem)
+                    / "figures",
+                )
+                extractor.extract(state.handle.path)
+            if final_text.strip():
+                stem = sanitize_filename(state.handle.stem)
+                doc_dir = Path(output_dir) / stem
+                doc_dir.mkdir(parents=True, exist_ok=True)
+                (doc_dir / f"{stem}.md").write_text(final_text)
+            return result
+
+        def process(self, pdf_path, output_dir=None):
+            out_dir = output_dir or self.config.output_dir
+            handle = ODocumentHandle.from_path(Path(pdf_path))
+            state = ODocumentState(handle=handle)
+            self._phase_analyze(state)
+            if self.config.multi_engine:
+                backbone_results = self._backbone_multi_engine(state, out_dir)
+                if self.config.audit_enabled:
+                    self._phase_score_multi(state, backbone_results)
+                # repair skipped in multi-engine mode; consensus always
+                self._phase_consensus(state)
+            else:
+                backbone = self._phase_backbone(state, out_dir)
+                if backbone and backbone.success and self.config.audit_enabled:
+                    self._phase_score(state, backbone)
+                if self.config.audit_enabled:
+                    self._phase_repair(state, out_dir)
+                if self.config.consensus_enabled:
+                    self._phase_consensus(state)
+            return self._phase_assemble(state, out_dir)
+
+        def process_batch(self, input_dir, output_dir=None):
+            # reference orchestrator.py:144-203 (S1 scan + F1 skip filter
+            # + F4 dry-run, the semantics plans/checkpoint distributes)
+            input_dir = Path(input_dir)
+            out_dir = output_dir or self.config.output_dir
+            meta = _sys.modules[_ORCH_MOD].MetadataManager(out_dir)
+            pdfs = sorted(input_dir.glob("*.pdf"))
+            if not pdfs:
+                return []
+            to_process = [
+                pdf
+                for pdf in pdfs
+                if not (meta.is_processed(pdf) and not self.config.reprocess)
+            ]
+            if not to_process:
+                return []
+            if self.config.dry_run:
+                return []
+            results = []
+            for pdf in to_process:
+                result = self.process(pdf, out_dir)
+                results.append(result)
+                if result.success:
+                    meta.record(
+                        pdf, engine=result.engine,
+                        processing_time=result.processing_time,
+                        pages=result.pages_processed,
+                    )
+            return results
+
+    created = _install_fake_socr_modules()
+    _sys.modules["socr.pipeline"].UnifiedPipeline = UnifiedPipeline
+    try:
+        passed, failures, skipped = _replay(
+            _ref("test_orchestrator.py"),
+            {
+                "DocumentAssessment": ODocumentAssessment,
+                "PageAssessment": OPageAssessment,
+                "DocumentHandle": ODocumentHandle,
+                "DocumentState": ODocumentState,
+                "DocumentStatus": DocumentStatus,
+                "EngineResult": OEngineResult,
+                "EngineType": EngineType,
+                "FailureMode": FailureMode,
+                "PageOutput": OPageOutput,
+                "PageState": OPageState,
+                "PageStatus": PageStatus,
+                "PipelineConfig": OPipelineConfig,
+                "UnifiedPipeline": UnifiedPipeline,
+                "HeuristicsChecker": OHeuristicsChecker,
+                "FailureModeScorer": OFailureModeScorer,
+                "BornDigitalDetector": OBornDigitalDetector,
+                "RepairRouter": ORouter,
+                "MagicMock": __import__(
+                    "unittest.mock", fromlist=["MagicMock"]
+                ).MagicMock,
+            },
+            per_test_tmp=True,
+        )
+    finally:
+        import sys as _sys2
+
+        for name in created:
+            _sys2.modules.pop(name, None)
+    assert not failures, failures
+    assert passed >= 60, f"only {passed} ran ({skipped})"
 
 
 # ---------------------------------------------------------------------------
