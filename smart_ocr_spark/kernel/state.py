@@ -165,8 +165,8 @@ def page_needs_reprocessing(status_is_error: bool, audit_passed: bool) -> bool:
 
 def total_cost(engine_runs: list[dict]) -> float:
     """Sum of run costs (reference state.py:166-168; distributed as the
-    A4 cost_microusd column)."""
-    return sum(r["cost"] for r in engine_runs)
+    A4 cost_microusd column).  Runs without a cost field count as 0."""
+    return sum(r.get("cost") or 0.0 for r in engine_runs)
 
 
 def engines_used(engine_runs: list[dict]) -> list[str]:
