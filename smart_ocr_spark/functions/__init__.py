@@ -9,6 +9,12 @@ wherever expressible, Arrow-batched pandas UDFs only for the kernels that
 genuinely need Python (64-bit simhash, winnowing, LSH plane projection).
 """
 
-from smart_ocr_spark.functions import dedup, multimodal, similarity, text_analysis
+from smart_ocr_spark.functions import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text_analysis"]
+__all__ = ["curation", "dedup", "multimodal", "similarity", "text_analysis"]

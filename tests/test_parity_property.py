@@ -179,3 +179,44 @@ def test_reconcile_total_and_stable(base, source):
         # blocks, so a second merge must not change the content again
         merged2, _ = merge_latex_into_text(merged, source)
         assert merged2 == merged
+
+
+_BYTES = st.binary(min_size=0, max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_BYTES)
+def test_ruled_table_detector_never_crashes(data):
+    """Adversarial content streams must never kill the parse task
+    (round-3 P9 kernel; O9 malformed-input contract)."""
+    from smart_ocr_spark.kernel.pdf_extract import (
+        detect_ruled_table,
+        extract_structured_page,
+    )
+
+    r = detect_ruled_table(data)
+    assert isinstance(r, bool)
+    s = extract_structured_page(data)
+    assert s is None or isinstance(s, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(-1e4, 1e4), st.floats(-1e4, 1e4),
+                          st.floats(-1e4, 1e4), st.floats(-1e4, 1e4)),
+                max_size=60))
+def test_cluster_boxes_merge_invariants(raw_boxes):
+    """Clustering always returns merged boxes covering the inputs and
+    never more clusters than inputs (round-3 sweep rewrite)."""
+    from smart_ocr_spark.kernel.figures import cluster_boxes
+
+    boxes = [
+        (min(a, c), min(b, d), max(a, c), max(b, d))
+        for a, b, c, d in raw_boxes
+    ]
+    merged = cluster_boxes(boxes)
+    assert len(merged) <= len(boxes)
+    for x0, y0, x1, y1 in merged:
+        assert x0 <= x1 and y0 <= y1
+    if boxes:
+        assert min(m[0] for m in merged) <= min(b[0] for b in boxes) + 1e-9
+        assert max(m[2] for m in merged) >= max(b[2] for b in boxes) - 1e-9
