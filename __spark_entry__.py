@@ -1739,8 +1739,9 @@ SELECT doc_id,
 FROM documents
 """,
         # chained redaction replays functions/text_analysis.PII_PATTERNS
-        # in order (email -> ip -> phone); counts are on the ORIGINAL
-        # planted text, exactly like with_pii_redaction
+        # in order (email -> ip -> phone); each count is on the text AS
+        # OF that stage of the chain (= replacements actually made),
+        # exactly like with_pii_redaction (ADVICE r3)
         "text_redact_pii": """
 WITH t AS (SELECT doc_id,
   text || ' Contact user' || doc_id
@@ -1751,10 +1752,12 @@ r1 AS (SELECT doc_id, text,
   regexp_replace(text,
     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
     '<EMAIL>', 'g') AS s1 FROM t),
-r2 AS (SELECT doc_id, text,
-  regexp_replace(s1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s2
+r2 AS (SELECT doc_id, text, s1,
+  regexp_replace(s1,
+    '\\b(?:(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\b',
+    '<IP>', 'g') AS s2
   FROM r1),
-r3 AS (SELECT doc_id, text,
+r3 AS (SELECT doc_id, text, s1, s2,
   regexp_replace(s2,
     '(?:\\+?\\d{1,2}[ .\\-])?\\(?\\d{3}\\)?[ .\\-]\\d{3}[ .\\-]\\d{4}\\b',
     '<PHONE>', 'g') AS redacted FROM r2)
@@ -1762,9 +1765,10 @@ SELECT doc_id, redacted,
   CAST(len(regexp_extract_all(text,
     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS INTEGER)
     AS n_email,
-  CAST(len(regexp_extract_all(text,
-    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
-  CAST(len(regexp_extract_all(text,
+  CAST(len(regexp_extract_all(s1,
+    '\\b(?:(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.){3}(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)\\b'))
+    AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(s2,
     '(?:\\+?\\d{1,2}[ .\\-])?\\(?\\d{3}\\)?[ .\\-]\\d{3}[ .\\-]\\d{4}\\b'))
     AS INTEGER) AS n_phone
 FROM r3

@@ -355,14 +355,37 @@ def with_simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash Hamming distance.
 
     Scale path: block on 4 x 16-bit chunks (pigeonhole — any pair within
     Hamming<=3 of 64 bits shares at least one exact 16-bit chunk), join
     per chunk, verify with bit_count. Avoids the N^2 self-join.
+
+    Degenerate corpora (many identical/near-identical texts) collapse
+    into one chunk value and the chunk join would go quadratic — the
+    same failure mode the embedding-LSH path guards against, so the same
+    guard applies: the NEIGHBOR side of the join is capped at
+    ``bucket_cap`` rows per chunk bucket (default
+    :data:`~smart_ocr_spark.functions.similarity.BUCKET_FANIN_CAP`),
+    largest ids kept because the pair filter is ``a < b`` (every row
+    either pairs upward into the kept set or is in it), with the drop
+    count LOGGED.  The cap never engages on the oracle corpora, keeping
+    those plans byte-stable; under it, pairs are bounded at
+    rows x cap x 4 chunks instead of quadratic.
     """
+    from smart_ocr_spark.functions.similarity import (
+        BUCKET_FANIN_CAP,
+        _cap_bucket_fanin,
+    )
+
+    if bucket_cap is None:
+        bucket_cap = BUCKET_FANIN_CAP
     hashed = with_simhash64(df, text_col).select(id_col, "simhash64").persist()
     chunks = None
     for c in range(4):
@@ -372,13 +395,19 @@ def simhash_near_pairs(
             F.expr(
                 f"concat('{c}:', cast((shiftrightunsigned(simhash64, {c * 16})"
                 " & cast(65535 as bigint)) as string))"
-            ).alias("chunk"),
+            ).alias("bucket"),
         )
         chunks = part if chunks is None else chunks.unionByName(part)
+    # persist: the cap's bucket-size probe + both join sides consume the
+    # 4-branch union — unpersisted, the simhash UDF pass would re-run
+    chunks = chunks.persist()
+    nbr, _ = _cap_bucket_fanin(
+        chunks, id_col, bucket_cap, "simhash_near_pairs", desc=True
+    )
     a = chunks.alias("a")
-    b = chunks.alias("b")
+    b = nbr.alias("b")
     return (
-        a.join(b, "chunk")
+        a.join(b, "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),

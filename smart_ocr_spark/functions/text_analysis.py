@@ -199,7 +199,13 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 PII_PATTERNS = [
     # (name, java-regex, replacement token)
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # octets restricted to 0-255 (ADVICE r3): 999.999.999.999 is a
+    # version-ish string, not an address
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b",
+        "<IP>",
+    ),
     (
         "phone",
         # +1-555-123-4567 / (555) 123-4567 / 555-123-4567 — needs the
@@ -222,17 +228,25 @@ def redact_pii_col(text: Column) -> Column:
 
 
 def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """``redacted`` text plus per-kind match counts (the counts feed the
+    """``redacted`` text plus per-kind REPLACEMENT counts.
+
+    Each count is computed on the text as of that stage of the
+    replacement chain (ADVICE r3): a phone- or IP-shaped substring
+    inside an already-redacted email match is neither counted nor
+    replaced, so ``n_<kind>`` equals the number of ``<KIND>`` tokens
+    actually substituted at that stage.  The counts feed the
     no-silent-caps rule: a corpus-level scrub must report how much it
-    changed)."""
-    out = df.withColumn("redacted", redact_pii_col(F.col(text_col)))
-    for name, pattern, _ in PII_PATTERNS:
+    changed."""
+    out = df
+    cur = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
         out = out.withColumn(
             f"n_{name}",
             # idx=0 = whole match (Spark defaults to capture group 1)
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)),
+            F.size(F.regexp_extract_all(cur, F.lit(pattern), 0)),
         )
-    return out
+        cur = F.regexp_replace(cur, pattern, token)
+    return out.withColumn("redacted", cur)
 
 
 def with_bag_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -462,7 +462,13 @@ def phase_consensus(doc, config, make_page):
 
 
 def _engine_type_for(config, engine_name):
-    for et in type(config.primary_engine):
+    # string-tolerant seam (ADVICE r3): harnesses may inject plain
+    # strings for config.primary_engine instead of enum members — then
+    # there is no enum to enumerate, and names compare directly
+    primary = config.primary_engine
+    if not hasattr(primary, "value"):
+        return engine_name
+    for et in type(primary):
         if et.value == engine_name:
             return et
     return None

@@ -28,6 +28,7 @@ per bucket per run) and the anti-join is a broadcast.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import time
 
@@ -55,6 +56,53 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _proc_starttime(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot) of ``pid`` — the
+    recycling-proof half of a (pid, starttime) identity.  None when
+    /proc is unavailable (non-Linux) or the process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # comm (field 2) may itself contain spaces/parens; fields 3+
+        # start after the LAST ')'.  starttime is field 22 overall,
+        # index 19 among the post-comm fields.
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _parse_lock(data: bytes) -> tuple[int | None, int | None]:
+    """(owner_pid, owner_starttime) from lock-file content.  Tolerates
+    the legacy/foreign ``"<pid> <walltime>"`` form (starttime None)."""
+    txt = data.decode(errors="replace").strip()
+    try:
+        if txt.startswith("pid="):
+            fields = dict(f.split("=", 1) for f in txt.split() if "=" in f)
+            start = fields.get("start", "")
+            return int(fields["pid"]), (int(start) if start.isdigit() else None)
+        return int(txt.split()[0]), None
+    except (ValueError, KeyError, IndexError):
+        return None, None
+
+
+def _owner_alive(pid: int | None, start: int | None) -> bool:
+    """Is the recorded lock owner still the process that took the lock?
+    A recorded starttime that disagrees with /proc means the pid was
+    recycled by an unrelated process (ADVICE r3) — stale."""
+    if pid is None or not _pid_alive(pid):
+        return False
+    if start is not None:
+        cur = _proc_starttime(pid)
+        if cur is not None and cur != start:
+            return False
+    return True
+
+
+# fd of each lock THIS process holds, keyed by lock path: the flock on
+# it is the primary liveness signal and must live as long as the run
+_LOCK_FDS: dict[str, int] = {}
+
+
 def _acquire_lock(out_dir: str) -> str:
     """Single-writer advisory lock on the checkpoint directory.
 
@@ -64,41 +112,95 @@ def _acquire_lock(out_dir: str) -> str:
     ``MERGE INTO`` would serialize via optimistic snapshot commits
     (SURVEY.md §7.2).  Until that jar exists, this is the reference's
     single-writer ``metadata.json`` model (``metadata.py:48-56`` atomic
-    tmp-then-rename) made explicit: an O_EXCL lock file carrying the
-    owner pid.  A lock whose pid is dead (SIGKILLed run) is stolen —
-    exactly one stealer wins the subsequent O_EXCL create.  Holds on a
-    local/POSIX shared FS; object stores need the Iceberg path.
+    tmp-then-rename) made explicit, with three raceproofing layers
+    (ADVICE r3):
+
+      * create is atomic WITH content — the pid record is written to a
+        unique tmp file and ``os.link``ed into place, so no reader can
+        ever observe a half-written lock;
+      * the winner keeps an ``fcntl.flock`` on the lock file for the
+        whole run — a held flock means LIVE regardless of pid
+        recycling, and a SIGKILLed owner's flock vanishes with it;
+      * stealing happens under that same flock with an inode check, so
+        of two stealers racing for one dead lock exactly one unlinks it
+        (the other sees a fresh inode and re-evaluates the new owner).
+
+    Foreign/legacy lock files (no flock held) fall back to the
+    (pid, /proc starttime) identity.  Holds on a local/POSIX shared FS;
+    object stores need the Iceberg path.
     """
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, LOCK_FILE)
-    for _ in range(8):  # bounded steal retries
+    mine = _proc_starttime(os.getpid())
+    content = (
+        f"pid={os.getpid()} start={mine if mine is not None else ''} "
+        f"t={time.time()}"
+    ).encode()
+    for attempt in range(8):  # bounded steal retries
+        tmp = os.path.join(out_dir, f".{LOCK_FILE}.{os.getpid()}.{attempt}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.write(fd, content)
+        finally:
             os.close(fd)
-            return path
+        try:
+            os.link(tmp, path)  # atomic create-with-content
+            linked = True
         except FileExistsError:
+            linked = False
+        finally:
+            os.unlink(tmp)
+        if linked:
+            lfd = os.open(path, os.O_RDONLY)
+            fcntl.flock(lfd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # fresh file: ours
+            _LOCK_FDS[path] = lfd
+            return path
+        # lock exists: probe the owner
+        try:
+            lfd = os.open(path, os.O_RDONLY)
+        except FileNotFoundError:
+            continue  # released between link and open — retry
+        try:
             try:
-                with open(path) as fh:
-                    owner = int(fh.read().split()[0])
-            except (OSError, ValueError, IndexError):
-                owner = None  # partially-written lock: treat as stale
-            if owner is not None and owner != os.getpid() and _pid_alive(owner):
+                fcntl.flock(lfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
                 raise ConcurrentRunError(
-                    f"checkpoint dir {out_dir} is locked by live pid {owner}"
+                    f"checkpoint dir {out_dir} is locked by a live run "
+                    "(flock held)"
                 )
+            # flock acquired ⇒ no live flock-holding owner.  Foreign or
+            # legacy lock file — judge liveness by its pid record, read
+            # through the flocked fd (not the path, which may be newer).
+            pid, start = _parse_lock(os.read(lfd, 4096))
+            if pid != os.getpid() and _owner_alive(pid, start):
+                raise ConcurrentRunError(
+                    f"checkpoint dir {out_dir} is locked by live pid {pid}"
+                )
+            # stale: steal, but only if the path still names the inode
+            # we hold flocked — otherwise another stealer already won
+            # and the file under `path` is its LIVE lock.
             try:
-                os.unlink(path)  # stale: dead owner or unreadable
+                if os.stat(path).st_ino == os.fstat(lfd).st_ino:
+                    os.unlink(path)
             except FileNotFoundError:
                 pass
+        finally:
+            os.close(lfd)  # releases the probe flock
     raise ConcurrentRunError(f"could not acquire lock in {out_dir}")
 
 
 def _release_lock(path: str) -> None:
+    lfd = _LOCK_FDS.pop(path, None)
     try:
-        os.unlink(path)
+        # unlink only our own inode: if (impossibly) someone replaced
+        # the file, removing THEIR live lock would reopen the race
+        if lfd is None or os.stat(path).st_ino == os.fstat(lfd).st_ino:
+            os.unlink(path)
     except FileNotFoundError:
         pass
+    finally:
+        if lfd is not None:
+            os.close(lfd)  # drops the run-duration flock
 
 
 def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:

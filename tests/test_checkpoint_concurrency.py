@@ -61,6 +61,41 @@ def test_stale_lock_is_stolen(spark, docs, tmp_path_factory):
     assert not os.path.exists(os.path.join(out, cp.LOCK_FILE))
 
 
+def test_recycled_pid_lock_is_stolen(spark, docs, tmp_path_factory):
+    """ADVICE r3: a lock whose pid was recycled by an unrelated live
+    process must still be stolen — the recorded /proc starttime
+    disagrees with the current holder of that pid."""
+    out = str(tmp_path_factory.mktemp("lock4"))
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, cp.LOCK_FILE)
+    # pid 1 is alive, but its true starttime is ~boot — nothing like this
+    with open(path, "w") as fh:
+        fh.write(f"pid=1 start=999999999999 t={time.time()}")
+    r = cp.run_with_checkpoint(spark, docs, out, N_BUCKETS)
+    assert r["processed_buckets"] == N_BUCKETS
+
+
+def test_flock_held_lock_rejects_regardless_of_pid(spark, docs, tmp_path_factory):
+    """The run-duration flock is the primary liveness signal: even a
+    lock file whose pid record is DEAD must be honored while someone
+    holds the flock (no steal of a partially-visible live lock)."""
+    import fcntl
+
+    import subprocess as sp
+
+    out = str(tmp_path_factory.mktemp("lock5"))
+    child = sp.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    path = _write_lock(out, child.pid)  # dead pid record
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        with pytest.raises(cp.ConcurrentRunError):
+            cp.run_with_checkpoint(spark, docs, out, N_BUCKETS)
+    finally:
+        os.close(fd)
+
+
 def test_dry_run_ignores_lock(spark, docs, tmp_path_factory):
     """Dry runs only read; they must work under someone else's lock."""
     out = str(tmp_path_factory.mktemp("lock3"))

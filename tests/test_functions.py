@@ -196,6 +196,36 @@ def test_degenerate_bucket_guard(spark, caplog):
     assert covered == n
 
 
+def test_simhash_degenerate_corpus_guard(spark, caplog):
+    """VERDICT r3 #2: a corpus of identical texts collapses every row
+    into ONE 16-bit chunk value per chunk position, so the pigeonhole
+    join would go quadratic.  The reused neighbor-side fan-in cap must
+    bound the join, keep dedup semantics (every row appears in some
+    pair — largest ids kept because the filter is a < b), and LOG the
+    drop (no-silent-caps rule)."""
+    import logging
+
+    n = 10_000
+    cap = 64
+    rows = [(i, "the exact same boilerplate text in every row") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+    with caplog.at_level(
+        logging.WARNING, logger="smart_ocr_spark.functions.similarity"
+    ):
+        pairs = dedup.simhash_near_pairs(df, max_hamming=3, bucket_cap=cap)
+        pair_count = pairs.count()
+        covered = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .count()
+        )
+    assert any("fan-in cap" in r.message for r in caplog.records)
+    assert pair_count <= n * cap  # bounded, not ~n^2/2 (= 50M)
+    assert covered == n  # no row escapes dedup
+
+
 def test_pii_redaction(spark):
     from smart_ocr_spark.functions import text_analysis as ta
 
@@ -205,6 +235,8 @@ def test_pii_redaction(spark):
         (2, "Server at 10.0.0.1 and 192.168.100.200 responded"),
         (3, "No pii here, just the number 12345 and v1.2 notation"),
         (4, "combo: bob@x.io, 555-111-2222, 8.8.8.8"),
+        (5, "build tag 999.999.999.999 is not an address"),
+        (6, "reach 10.20.30.40@example.com for help"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in ta.with_pii_redaction(df).collect()}
@@ -216,6 +248,13 @@ def test_pii_redaction(spark):
     assert out[3].redacted == rows[3][1]
     assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
     assert all(t in out[4].redacted for t in ("<EMAIL>", "<PHONE>", "<IP>"))
+    # octet validation (ADVICE r3): 999.* is a version-ish string
+    assert out[5].redacted == rows[5][1] and out[5].n_ipv4 == 0
+    # stage-wise counts (ADVICE r3): the dotted quad inside the email
+    # local part is consumed by the email replacement — neither counted
+    # nor redacted as an IP
+    assert out[6].redacted == "reach <EMAIL> for help"
+    assert out[6].n_email == 1 and out[6].n_ipv4 == 0
 
 
 def test_quality_keep_list(spark, caplog):
