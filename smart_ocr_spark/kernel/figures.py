@@ -209,14 +209,31 @@ def cluster_boxes(
     return sorted(merged.values(), key=lambda b: (-b[3], b[0]))  # y-desc, x-asc
 
 
+MIN_IMAGE_AREA = 80.0 * 80.0  # reference MIN_AREA (extractor.py:61)
+
+
+def passes_image_filters(box: Box) -> bool:
+    """Embedded-image candidate filter — reference parity
+    (``extractor.py:236-239`` IMAGE blocks): images are filtered by
+    min AREA (80x80 pt^2) and aspect band only.  The margin bands and
+    page-area-ratio band apply to VECTOR drawings only — a full-page
+    scan image is a legitimate figure there, not clutter."""
+    w, h = box[2] - box[0], box[3] - box[1]
+    if w * h < MIN_IMAGE_AREA:
+        return False
+    aspect = w / max(h, 1.0)  # extractor.py:238 guards h with max(h, 1)
+    return ASPECT_MIN <= aspect <= ASPECT_MAX
+
+
 def passes_filters(
     box: Box, page_w: float, page_h: float, origin: tuple[float, float] = (0.0, 0.0)
 ) -> bool:
-    """``box`` is in absolute content-stream coordinates; ``origin`` is
-    the MediaBox lower-left corner.  The margin bands and area ratios
-    are defined in the page frame, so translate first — a nonzero
-    MediaBox origin (cropped scans) would otherwise shift the
-    header/footer exclusion bands onto valid figures."""
+    """Vector-drawing candidate filter.  ``box`` is in absolute
+    content-stream coordinates; ``origin`` is the MediaBox lower-left
+    corner.  The margin bands and area ratios are defined in the page
+    frame, so translate first — a nonzero MediaBox origin (cropped
+    scans) would otherwise shift the header/footer exclusion bands onto
+    valid figures."""
     x0, y0, x1, y1 = (
         box[0] - origin[0],
         box[1] - origin[1],
@@ -235,6 +252,68 @@ def passes_filters(
     ratio = (w * h) / (page_w * page_h) if page_w and page_h else 0.0
     hi = AREA_RATIO_MAX_LANDSCAPE if page_w > page_h else AREA_RATIO_MAX
     return AREA_RATIO_MIN <= ratio <= hi
+
+
+# ---------------------------------------------------------------------------
+# Figure blocks in the output markdown (orchestrator.py:1425-1453
+# ``_build_figure_blocks`` + the append rule at orchestrator.py:1367-1371).
+# The reference's caption comes from a cloud vision call
+# (``_describe_and_embed_figures``, orchestrator.py:1287-1371) — out of
+# scope per SURVEY §2.12, which prescribes a DETERMINISTIC caption stub
+# derived from the figure metadata instead.  The stub is clearly marked
+# so downstream consumers can't mistake it for a real description.
+# ---------------------------------------------------------------------------
+
+
+def _round_half_up(v: float) -> int:
+    """Spark's ``F.round`` rounds HALF_UP; Python's round() is banker's.
+    Extents are non-negative, so floor(v + 0.5) is exactly HALF_UP."""
+    import math
+
+    return int(math.floor(v + 0.5))
+
+
+def stub_caption(figure_type: str, x0: float, y0: float, x1: float, y1: float) -> str:
+    """Deterministic stand-in for the vision description: figure kind +
+    bbox extent (rounded HALF_UP for byte-parity with the JVM mirror)."""
+    return (
+        f"[stub] {figure_type} region, "
+        f"{_round_half_up(x1 - x0)}x{_round_half_up(y1 - y0)} pt"
+    )
+
+
+def figure_block(fig: dict) -> str:
+    """One markdown figure block (``_build_figure_blocks``,
+    orchestrator.py:1444-1450)::
+
+        **Figure N** (page P): [caption]
+
+        ![Figure N](figures/figure_N_pageP.png)
+
+    The image path follows the reference's save convention
+    (``extractor.py:294``) relative to the per-doc output dir — the
+    pixels themselves are never materialized at metadata level."""
+    n, p = fig["figure_num"], fig["page_num"]
+    caption = stub_caption(
+        fig["figure_type"], fig["x0"], fig["y0"], fig["x1"], fig["y1"]
+    )
+    return (
+        f"**Figure {n}** (page {p}): {caption}"
+        f"\n\n![Figure {n}](figures/figure_{n}_page{p}.png)"
+    )
+
+
+def embed_figure_blocks(text: str, figures: list[dict]) -> str:
+    """Append figure blocks to assembled markdown — the
+    ``_describe_and_embed_figures`` append rule (orchestrator.py:1367-71:
+    ``text.rstrip() + "\\n\\n" + blocks``), applied only when the doc
+    has text (orchestrator.py:1272) and figures exist.  rstrip is pinned
+    to the ASCII whitespace class for byte-parity with the JVM mirror
+    (:func:`smart_ocr_spark.operators.extract.with_figure_embed`)."""
+    if not figures or not text.strip():
+        return text
+    blocks = "\n\n".join(figure_block(f) for f in figures)
+    return text.rstrip(" \t\n\x0b\f\r") + "\n\n" + blocks
 
 
 def doc_figures(payload: bytes, doc: "PdfDocument | None" = None) -> list[dict]:
@@ -288,9 +367,18 @@ def doc_figures(payload: bytes, doc: "PdfDocument | None" = None) -> list[dict]:
             for box in boxes:
                 if page_count >= MAX_PER_PAGE or fig_num >= MAX_TOTAL:
                     break
-                if not passes_filters(
-                    box, page_w, page_h, origin=(float(media[0]), float(media[1]))
-                ):
+                # reference filter split: margin/area bands are
+                # vector-only (extractor.py:174-186); images take the
+                # min-area + aspect gate (extractor.py:236-239)
+                ok = (
+                    passes_image_filters(box)
+                    if kind == "image"
+                    else passes_filters(
+                        box, page_w, page_h,
+                        origin=(float(media[0]), float(media[1])),
+                    )
+                )
+                if not ok:
                     continue
                 fig_num += 1
                 page_count += 1

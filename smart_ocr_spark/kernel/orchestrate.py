@@ -497,6 +497,13 @@ def phase_assemble(doc, config, make_page, make_result, normalize_fn=None):
     doc["status"] = status
     if has_text and normalize_fn is not None:
         final_text = normalize_fn(final_text)
+    # figure blocks append AFTER normalization (orchestrator.py:
+    # 1244-1276): save_figures gates it, and the caption is the
+    # deterministic SURVEY §2.12 stub in place of the vision call
+    if has_text and getattr(config, "save_figures", False):
+        from smart_ocr_spark.kernel.figures import embed_figure_blocks
+
+        final_text = embed_figure_blocks(final_text, doc.get("figures") or [])
     engines = kstate.engines_used(doc["engine_runs"])
     total_time = sum(
         r.get("processing_time") or 0.0 for r in doc["engine_runs"]

@@ -715,6 +715,54 @@ def figure_metadata(df: DataFrame, url_col: str = "url", payload_col: str = "htm
     return df.select(url_col, payload_col).mapInPandas(run, schema)
 
 
+def with_figure_embed(
+    df: DataFrame,
+    text_col: str = "final_text",
+    figures_col: str = "figures",
+) -> DataFrame:
+    """Embed figure blocks into the output markdown — the reference's
+    ``_describe_and_embed_figures`` append step (orchestrator.py:
+    1272-1276, 1367-1371) with SURVEY §2.12's deterministic caption stub
+    in place of the cloud vision description.
+
+    Pure JVM column algebra over the ``figures`` ARRAY<STRUCT> the parse
+    pass already emitted — no Python, no second payload scan, map-only
+    at any scale.  Byte-parity with the kernel spec
+    (:func:`smart_ocr_spark.kernel.figures.embed_figure_blocks`) is
+    pinned by a mirror test."""
+    text = F.col(text_col)
+
+    def block(f):
+        n = f["figure_num"].cast("string")
+        p = f["page_num"].cast("string")
+        return F.concat(
+            F.lit("**Figure "), n, F.lit("** (page "), p,
+            F.lit("): [stub] "), f["figure_type"], F.lit(" region, "),
+            F.round(f["x1"] - f["x0"]).cast("int").cast("string"),
+            F.lit("x"),
+            F.round(f["y1"] - f["y0"]).cast("int").cast("string"),
+            F.lit(" pt\n\n![Figure "), n,
+            F.lit("](figures/figure_"), n, F.lit("_page"), p, F.lit(".png)"),
+        )
+
+    # has_text = bool(final_text.strip()) (orchestrator.py:1272); both
+    # strip/rstrip pinned to the ASCII whitespace class on both engines
+    has_text = (
+        F.length(F.regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]", "")) > 0
+    )
+    embedded = F.concat(
+        F.regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]+$", ""),
+        F.lit("\n\n"),
+        F.array_join(F.transform(F.col(figures_col), block), "\n\n"),
+    )
+    return df.withColumn(
+        text_col,
+        F.when(
+            (F.size(F.col(figures_col)) > 0) & has_text, embedded
+        ).otherwise(text),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Phase 4b/5: consensus selection + assembly
 # ---------------------------------------------------------------------------

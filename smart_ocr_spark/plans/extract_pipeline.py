@@ -94,6 +94,7 @@ def run_extraction(
     repartition: bool = True,
     chain: list[str] | None = None,
     with_figures: bool = False,
+    embed_figures: bool = False,
 ) -> DataFrame:
     """documents(url, warc_ts, html, lang[, text]) -> results frame.
 
@@ -107,7 +108,14 @@ def run_extraction(
 
     ``with_figures`` emits a ``figures`` ARRAY<STRUCT> column from the
     same parse pass — figure metadata without a second payload scan.
+
+    ``embed_figures`` (implies ``with_figures``) additionally appends
+    the markdown figure blocks to ``final_text`` — the reference's
+    ``config.save_figures`` path (orchestrator.py:1272-1276) with
+    deterministic caption stubs; pure JVM column algebra after
+    selection, so the extraction plan is unchanged.
     """
+    with_figures = with_figures or embed_figures
     src = documents.select("url", "warc_ts", "html", "lang")
     if repartition:
         src = ops.size_bucketed(src)
@@ -149,6 +157,10 @@ def run_extraction(
         df = new_df
 
     df = ops.with_selection(df)
+    if embed_figures:
+        # reference order: figure blocks append AFTER assembly +
+        # normalization (orchestrator.py:1244-1276)
+        df = ops.with_figure_embed(df)
     out_cols = RESULT_COLUMNS + (["figures"] if with_figures else [])
     return df.select(*out_cols)
 

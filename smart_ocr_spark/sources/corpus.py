@@ -298,6 +298,7 @@ def build_pdf(
     page_height: float = 792,
     raw_page_prefix: list[str] | None = None,
     image_pages: list[bool] | None = None,
+    image_placements: list[str | None] | None = None,
 ) -> bytes:
     """Write a minimal PDF.  ``pages`` = per page a list of (x, y, text)
     line placements; ``fonts`` = BaseFont names (F1 is used for all text;
@@ -306,7 +307,9 @@ def build_pdf(
     page (one string per page; used to plant drawing/figure operators);
     ``image_pages`` = per-page flag painting a full-page image XObject
     (scanned-page analog: a page can be image-only by passing [] for its
-    text placements)."""
+    text placements); ``image_placements`` = per-page override of the
+    default image placement op (raw content-stream string painting
+    ``/Im1``; only applies to pages flagged in ``image_pages``)."""
     fonts = fonts or ["Helvetica"]
     objects: list[bytes] = []
 
@@ -349,8 +352,14 @@ def build_pdf(
         if raw_page_prefix and page_idx < len(raw_page_prefix):
             ops.append(raw_page_prefix[page_idx])
         if has_image:
-            # paint the "scan" across the content area
-            ops.append("q 468 0 0 648 72 72 cm /Im1 Do Q")
+            placement = (
+                image_placements[page_idx]
+                if image_placements and page_idx < len(image_placements)
+                and image_placements[page_idx]
+                else "q 468 0 0 648 72 72 cm /Im1 Do Q"
+            )
+            # paint the "scan" across the content area (or as placed)
+            ops.append(placement)
         ops += ["BT", "/F1 12 Tf", "14 TL"]
         for x, y, text in lines:
             ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm")

@@ -2437,3 +2437,139 @@ def test_reference_consensus_matrix_passes_verbatim():
     )
     assert not failures, failures
     assert passed >= 53, f"only {passed} ran ({skipped})"
+
+
+# ---------------------------------------------------------------------------
+# test_figure_pass.py -> kernel.figures.doc_figures (metadata-level)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_figure_pass_matrix_passes_verbatim():
+    """The reference builds a PDF with PyMuPDF + PIL (neither is in this
+    container) and asserts the FigureExtractor finds the embedded image.
+    The builder side is shimmed: a minimal fitz/PIL stand-in writes the
+    same structure (one page, one placed image XObject) through our
+    from-scratch PDF writer; the EXTRACTOR side is our real kernel
+    (``kernel.figures.doc_figures``), wrapped in the reference's
+    FigureExtractor surface (max_total / max_per_page / save_dir,
+    ``extractor.py:69-81``).  The test bodies run verbatim."""
+    import io as _io
+    import sys as _sys
+    import types as _types
+
+    from smart_ocr_spark.kernel.figures import doc_figures
+    from smart_ocr_spark.sources.corpus import build_pdf
+
+    class _FzRect:
+        def __init__(self, x0, y0, x1, y1):
+            self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+
+    class _FzPage:
+        def __init__(self):
+            # PyMuPDF new_page() default is A4 (595 x 842)
+            self.rect = _FzRect(0.0, 0.0, 595.0, 842.0)
+            self._placement = None
+
+        def insert_image(self, rect, stream=None):
+            w, h = rect.x1 - rect.x0, rect.y1 - rect.y0
+            self._placement = (
+                f"q {w:.0f} 0 0 {h:.0f} {rect.x0:.0f} {rect.y0:.0f} cm /Im1 Do Q"
+            )
+
+    class _FzDoc:
+        def __init__(self):
+            self._pages: list[_FzPage] = []
+
+        def new_page(self):
+            p = _FzPage()
+            self._pages.append(p)
+            return p
+
+        def save(self, path):
+            first = self._pages[0] if self._pages else _FzPage()
+            pdf = build_pdf(
+                [[] for _ in self._pages] or [[]],
+                page_width=first.rect.x1,
+                page_height=first.rect.y1,
+                image_pages=[True] * max(len(self._pages), 1),
+                image_placements=[p._placement for p in self._pages] or [None],
+            )
+            Path(path).write_bytes(pdf)
+
+        def close(self):
+            pass
+
+    class _FakePILImage:
+        def __init__(self, size):
+            self.size = size
+
+        def save(self, fp, format=None):
+            # pixels never reach the metadata-level extractor; any
+            # deterministic bytes satisfy the stream= argument
+            fp.write(b"\x89PNG\r\n\x1a\nfake")
+
+    fitz_mod = _types.SimpleNamespace(open=lambda *a, **kw: _FzDoc())
+
+    class FigureExtractor:
+        """Reference surface (extractor.py:69-81) over our kernel."""
+
+        def __init__(self, max_total=25, max_per_page=3, save_dir=None):
+            self.max_total = max_total
+            self.max_per_page = max_per_page
+            self.save_dir = save_dir
+
+        def extract(self, pdf_path):
+            payload = Path(pdf_path).read_bytes()
+            saved = Path(self.save_dir) if self.save_dir else None
+            if saved is not None:
+                saved.mkdir(parents=True, exist_ok=True)
+            out, per_page = [], {}
+            for f in doc_figures(payload):
+                if len(out) >= self.max_total:
+                    break
+                c = per_page.get(f["page_num"], 0)
+                if c >= self.max_per_page:
+                    continue
+                per_page[f["page_num"]] = c + 1
+                fig = _types.SimpleNamespace(
+                    figure_num=f["figure_num"],
+                    page_num=f["page_num"],
+                    image=object(),
+                    saved_path=None,
+                )
+                if saved is not None:
+                    p = saved / f"figure_{fig.figure_num}_page{fig.page_num}.png"
+                    p.write_bytes(b"")  # metadata-level placeholder
+                    fig.saved_path = str(p)
+                out.append(fig)
+            return out
+
+    # `from PIL import Image` executes inside the verbatim helper body
+    pil_pkg = _types.ModuleType("PIL")
+    pil_img_mod = _types.ModuleType("PIL.Image")
+    pil_img_mod.new = lambda mode, size, color=None: _FakePILImage(size)
+    pil_pkg.Image = pil_img_mod
+    installed = []
+    for name, mod in (("PIL", pil_pkg), ("PIL.Image", pil_img_mod)):
+        if name not in _sys.modules:
+            _sys.modules[name] = mod
+            installed.append(name)
+    try:
+        passed, failures, skipped = _replay(
+            _ref("test_figure_pass.py"),
+            {
+                "io": _io,
+                "fitz": fitz_mod,
+                "PIL": pil_pkg,
+                "FigureExtractor": FigureExtractor,
+                "PipelineConfig": dict,   # imported, unused in bodies
+                "DocumentHandle": dict,
+                "FigureInfo": dict,
+            },
+            per_test_tmp=True,
+        )
+    finally:
+        for name in installed:
+            del _sys.modules[name]
+    assert not failures, failures
+    assert passed >= 1, f"only {passed} ran ({skipped})"
