@@ -53,19 +53,28 @@ def _assign(base: DataFrame, cmat: np.ndarray, id_col: str) -> DataFrame:
 
     def run(batches):
         cm, cn, vidx = b.value
+        # pre-normalized centroid matrix (see similarity.cosine_topk):
+        # one BLAS matmul per batch, no (batch x k) divisor allocation
+        cm_n_t = (cm / cn[:, None]).T
         for pdf in batches:
             ids, cls, coss, vs, nrms = [], [], [], [], []
-            for vid, v, nrm in zip(pdf[id_col], pdf["__v"], pdf["__norm"]):
-                vv = np.asarray(v, dtype=np.float64)
-                cos = (vv @ cm.T) / (nrm * cn)
-                # argmax with ties toward the lower cluster id: argmax
-                # returns the FIRST maximal index, and vidx is ascending
-                best = int(np.argmax(cos))
-                ids.append(int(vid))
-                cls.append(int(vidx[best]))
-                coss.append(float(cos[best]))
-                vs.append(list(vv))
-                nrms.append(float(nrm))
+            if len(pdf):
+                # base is pre-filtered to __norm > 0 by the caller
+                vmat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                nrm_arr = pdf["__norm"].to_numpy(dtype=np.float64)
+                cos_all = (vmat / nrm_arr[:, None]) @ cm_n_t
+                for row_i, (vid, nrm) in enumerate(zip(pdf[id_col], nrm_arr)):
+                    cos = cos_all[row_i]
+                    # argmax with ties toward the lower cluster id: argmax
+                    # returns the FIRST maximal index, vidx is ascending
+                    best = int(np.argmax(cos))
+                    ids.append(int(vid))
+                    cls.append(int(vidx[best]))
+                    coss.append(float(cos[best]))
+                    vs.append(list(vmat[row_i]))
+                    nrms.append(float(nrm))
             yield pd.DataFrame(
                 {
                     id_col: pd.array(ids, dtype="int64"),

@@ -140,6 +140,14 @@ def extract_payload_variant(payload: bytes, variant: str) -> str | None:
     Returns None on parse failure.
     """
     try:
+        if variant == "raster":
+            # the scanned-recovery tier (kernel/raster.py): rasterize
+            # plan + per-image OCR; "" for anything without a
+            # recoverable layer, None never (a scan that yields nothing
+            # is an honest empty attempt, not a parse failure)
+            from smart_ocr_spark.kernel.raster import extract_payload_raster
+
+            return extract_payload_raster(payload) if sniff_pdf(payload) else ""
         if sniff_pdf(payload):
             # "density" must be a genuinely different kernel config for
             # PDFs too: basic mode renders single-column in y-order

@@ -282,38 +282,79 @@ def stub_caption(figure_type: str, x0: float, y0: float, x1: float, y1: float) -
     )
 
 
-def figure_block(fig: dict) -> str:
+def _block_text(
+    figure_num: int, page_num: int, rel_path: str, description: str = ""
+) -> str:
     """One markdown figure block (``_build_figure_blocks``,
-    orchestrator.py:1444-1450)::
+    orchestrator.py:1444-1450): the header takes a ``: description``
+    suffix only when a description exists."""
+    header = f"**Figure {figure_num}** (page {page_num})"
+    if description:
+        header += f": {description}"
+    return f"{header}\n\n![Figure {figure_num}]({rel_path})"
 
-        **Figure N** (page P): [caption]
 
-        ![Figure N](figures/figure_N_pageP.png)
+def build_figure_blocks(figures: list[dict], doc_dir=None) -> str:
+    """Reference ``_build_figure_blocks`` (orchestrator.py:1425-1453):
+    one block per figure WITH an image path (pathless figures are
+    skipped), image refs relative to the per-doc output dir when they
+    resolve under it, basename otherwise.  ``figures`` dicts carry
+    figure_num / page_num / description / image_path."""
+    from pathlib import PurePath
 
-    The image path follows the reference's save convention
-    (``extractor.py:294``) relative to the per-doc output dir — the
-    pixels themselves are never materialized at metadata level."""
+    blocks = []
+    for fig in figures:
+        path = fig.get("image_path")
+        if not path:
+            continue
+        p = PurePath(path)
+        rel = PurePath(p.name)
+        if doc_dir is not None:
+            try:
+                rel = p.relative_to(doc_dir)
+            except ValueError:
+                rel = PurePath(p.name)
+        blocks.append(
+            _block_text(
+                fig["figure_num"], fig["page_num"], rel.as_posix(),
+                fig.get("description") or "",
+            )
+        )
+    return "\n\n".join(blocks)
+
+
+def append_figure_blocks(text: str, blocks: str) -> str:
+    """The ``_describe_and_embed_figures`` append rule
+    (orchestrator.py:1367-1371): ``text.rstrip() + "\\n\\n" + blocks``
+    when blocks exist, text unchanged otherwise.  rstrip is pinned to
+    the ASCII whitespace class for byte-parity with the JVM mirror
+    (:func:`smart_ocr_spark.operators.extract.with_figure_embed`)."""
+    if not blocks:
+        return text
+    return text.rstrip(" \t\n\x0b\f\r") + "\n\n" + blocks
+
+
+def figure_block(fig: dict) -> str:
+    """Production block for METADATA-level figures: the reference save
+    convention path (``extractor.py:294``, pixels never materialized)
+    with the deterministic stub caption standing in for the vision
+    description."""
     n, p = fig["figure_num"], fig["page_num"]
     caption = stub_caption(
         fig["figure_type"], fig["x0"], fig["y0"], fig["x1"], fig["y1"]
     )
-    return (
-        f"**Figure {n}** (page {p}): {caption}"
-        f"\n\n![Figure {n}](figures/figure_{n}_page{p}.png)"
-    )
+    return _block_text(n, p, f"figures/figure_{n}_page{p}.png", caption)
 
 
 def embed_figure_blocks(text: str, figures: list[dict]) -> str:
-    """Append figure blocks to assembled markdown — the
-    ``_describe_and_embed_figures`` append rule (orchestrator.py:1367-71:
-    ``text.rstrip() + "\\n\\n" + blocks``), applied only when the doc
-    has text (orchestrator.py:1272) and figures exist.  rstrip is pinned
-    to the ASCII whitespace class for byte-parity with the JVM mirror
-    (:func:`smart_ocr_spark.operators.extract.with_figure_embed`)."""
+    """Metadata-level embed: stub-captioned blocks appended per the
+    reference rule, only when the doc has text (orchestrator.py:1272)
+    and figures exist."""
     if not figures or not text.strip():
         return text
-    blocks = "\n\n".join(figure_block(f) for f in figures)
-    return text.rstrip(" \t\n\x0b\f\r") + "\n\n" + blocks
+    return append_figure_blocks(
+        text, "\n\n".join(figure_block(f) for f in figures)
+    )
 
 
 def doc_figures(payload: bytes, doc: "PdfDocument | None" = None) -> list[dict]:

@@ -148,9 +148,28 @@ def phase_backbone(
     return result
 
 
+def _name_of(x):
+    """String-enum-VALUE convention: enum members compare by .value,
+    plain strings compare as themselves."""
+    return getattr(x, "value", x)
+
+
 def _backbone_native_first(
-    doc, config, get_engine, scorer, make_page, make_result
+    doc, config, get_engine, scorer, make_page, make_result,
+    classify_pages_fn=None, resolve_local_fn=None,
 ):
+    """3-tier routing (orchestrator.py:335-541): native -> local ->
+    cloud.
+
+    Tier 1: born-digital prose -> native text.  Tier 2 (only when
+    ``config.tiered`` and a local engine resolves and a
+    ``classify_pages_fn`` seam is provided): EASY OCR pages go to the
+    local engine, each output audited per page — engine errors and
+    audit failures ESCALATE to tier 3 with ``escalated_from`` set to
+    the local engine's name (orchestrator.py:500-512).  Tier 3: hard +
+    escalated pages go to the primary (cloud) engine.  Without tiered
+    routing the tiers collapse into one primary pass, byte-identical to
+    the pre-tiered form."""
     prose, enhancement, scanned = [], [], []
     for page_num, ps in sorted(doc["pages"].items()):
         if (
@@ -164,6 +183,50 @@ def _backbone_native_first(
         else:
             scanned.append(page_num)
     ocr_pages = enhancement + scanned
+
+    # tier 2/3 split (orchestrator.py:371-413)
+    easy_pages, hard_pages = [], []
+    local_engine_type = None
+    if getattr(config, "tiered", False) and ocr_pages:
+        local_cfg = getattr(config, "local_engine", None)
+        if _name_of(local_cfg) == "auto":
+            if resolve_local_fn is not None:
+                local_engine_type = resolve_local_fn()
+        elif local_cfg is not None and local_cfg != config.primary_engine:
+            local_engine_type = local_cfg
+    if local_engine_type and ocr_pages and classify_pages_fn is not None:
+        assessment = doc.get("last_assessment")
+        by_num = {
+            pa["page_num"]: pa
+            for pa in (assessment["pages"] if assessment else [])
+        }
+        page_hints = {}
+        for n in ocr_pages:
+            pa = by_num.get(n)
+            if pa is not None:
+                page_hints[n] = {
+                    "has_tables": pa.get("has_tables", False),
+                    "has_equations": pa.get("has_equations", False),
+                }
+            elif doc["pages"][n]["needs_ocr_enhancement"]:
+                # fallback: enhancement pages assumed hard
+                page_hints[n] = {"has_tables": True, "has_equations": False}
+        difficulty_map = classify_pages_fn(
+            str(doc["path"]), ocr_pages, page_hints=page_hints
+        )
+        for n in ocr_pages:
+            da = difficulty_map.get(n)
+            diff = None if da is None else getattr(da, "difficulty", None)
+            if diff is None and isinstance(da, dict):
+                diff = da.get("difficulty")
+            if _name_of(diff) == "easy":
+                easy_pages.append(n)
+            else:
+                hard_pages.append(n)
+    else:
+        hard_pages = ocr_pages
+
+    # tier 1: native prose
     page_outputs = [
         make_page(
             page_num=n, text=doc["pages"][n]["native_text"],
@@ -171,13 +234,43 @@ def _backbone_native_first(
         )
         for n in prose
     ]
-    if ocr_pages:
-        page_outputs.extend(
-            _run_engine_on_pages(
-                doc, ocr_pages, enhancement,
-                get_engine(config.primary_engine), config, make_page,
-            )
+
+    # tier 2: local engine on easy pages, per-page audit -> escalation
+    escalated_pages: list = []
+    local_engine_name = ""
+    if easy_pages and local_engine_type:
+        local_outputs = _run_engine_on_pages(
+            doc, easy_pages, enhancement,
+            get_engine(local_engine_type), config, make_page,
         )
+        local_engine_name = get_engine(local_engine_type).name
+        for po in local_outputs:
+            if po["engine"] == "native":
+                page_outputs.append(po)  # enhancement fallback passthrough
+                continue
+            if po["status"] != SUCCESS:
+                # engine hard-error: escalate, never ship a blank page
+                escalated_pages.append(po["page_num"])
+                continue
+            scoring = scorer.score(po["text"], engine=po["engine"])
+            if scoring.passed:
+                po["audit_passed"] = True
+                page_outputs.append(po)
+            else:
+                escalated_pages.append(po["page_num"])
+
+    # tier 3: primary (cloud) engine on hard + escalated pages
+    cloud_pages = hard_pages + escalated_pages
+    if cloud_pages:
+        cloud_outputs = _run_engine_on_pages(
+            doc, cloud_pages, enhancement,
+            get_engine(config.primary_engine), config, make_page,
+        )
+        for co in cloud_outputs:
+            if co["page_num"] in escalated_pages:
+                co["escalated_from"] = local_engine_name
+        page_outputs.extend(cloud_outputs)
+
     ok = sum(1 for p in page_outputs if p["status"] == SUCCESS)
     engines = sorted(
         {p["engine"] for p in page_outputs if p["engine"] and p["engine"] != "native"}

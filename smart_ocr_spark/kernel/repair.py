@@ -37,12 +37,19 @@ FAMILIES = {
     "basic": "plain",
     "raw": "plain",
     "layout_alt": "alt",
+    "raster": "ocr",  # scanned-recovery tier (outside the text chain)
 }
 
 # Tier sets (reference repair.py:34-53).
 CLOUD_VARIANTS = {"layout_alt", "layout"}      # _CLOUD_ENGINES analog
 LIGHT_VARIANTS = ["basic", "raw"]              # _LIGHT_ENGINES analog
 CAPABLE_VARIANTS = ["layout", "density", "layout_alt"]  # _CAPABLE_ENGINES analog
+
+# The scanned-recovery tier (kernel/raster.py) sits OUTSIDE the text
+# chain: it is only ever routed to image-only docs (select_repair_variant
+# scanned=True), so chain consumers (calibration, exhaustion contracts)
+# are untouched.
+RASTER_VARIANT = "raster"
 
 
 def candidates(tried: set[str], chain: list[str] | None = None) -> list[str]:
@@ -84,6 +91,7 @@ def select_repair_variant(
     cloud: "set[str] | None" = None,
     light: "list[str] | None" = None,
     capable: "list[str] | None" = None,
+    scanned: bool = False,
 ) -> str | None:
     """Policy table (reference repair.py:109-136):
 
@@ -111,6 +119,13 @@ def select_repair_variant(
     cloud = CLOUD_VARIANTS if cloud is None else cloud
     light = LIGHT_VARIANTS if light is None else light
     capable = CAPABLE_VARIANTS if capable is None else capable
+    if scanned:
+        # image-only docs have no text layer for ANY text-parse variant
+        # to find — their only candidate is the raster-OCR tier, which
+        # sits OUTSIDE the text chain (the reference routes its scanned
+        # category to OCR engines, never to native extraction).  Once
+        # raster has been tried the doc is exhausted.
+        return RASTER_VARIANT if RASTER_VARIANT not in tried else None
     cands = candidates(tried, chain)
     if (
         failure_mode == audit.TRUNCATED

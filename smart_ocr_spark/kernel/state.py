@@ -163,6 +163,24 @@ def page_needs_reprocessing(status_is_error: bool, audit_passed: bool) -> bool:
     return not audit_passed
 
 
+def page_context(
+    pages: dict[int, dict],
+    whole_doc_attempts: list[dict],
+    page_num: int,
+    limit: int = 500,
+) -> str:
+    """Text context for a page's figure descriptions (reference
+    ``_get_page_context``, orchestrator.py:1415-1423): the page's best
+    output, else the first whole-doc attempt with text, truncated."""
+    ps = pages.get(page_num)
+    if ps and ps.get("best_output"):
+        return (ps["best_output"]["text"] or "")[:limit]
+    for attempt in whole_doc_attempts:
+        if attempt.get("text"):
+            return attempt["text"][:limit]
+    return ""
+
+
 def total_cost(engine_runs: list[dict]) -> float:
     """Sum of run costs (reference state.py:166-168; distributed as the
     A4 cost_microusd column).  Runs without a cost field count as 0."""

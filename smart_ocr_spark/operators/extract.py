@@ -540,6 +540,22 @@ def _apply_variant_attempt(
 # ---------------------------------------------------------------------------
 
 
+def scanned_py(row: dict) -> bool:
+    """Image-only PDF with no text layer: the raster-recovery class
+    (mirrors the ``failed_scanned`` status clause and ``scanned_col``)."""
+    return bool(
+        row.get("is_pdf")
+        and (row.get("n_images") or 0) > 0
+        and (row.get("total_chars") or 0) == 0
+    )
+
+
+def scanned_col() -> Column:
+    return (
+        F.col("is_pdf") & (F.col("n_images") > 0) & (F.col("total_chars") == 0)
+    )
+
+
 def needs_repair_py(row: dict) -> bool:
     """Python mirror of :func:`needs_repair_col` for the fused Arrow
     repair pass (state.py:37-57 analog).  Kept module-level so the
@@ -550,13 +566,18 @@ def needs_repair_py(row: dict) -> bool:
         return False
     if row["is_born_digital"] and (row["native_text"] or ""):
         return False
+    if scanned_py(row):
+        # image-only docs are retriable through the raster tier even
+        # though they have no extractable text layer (VERDICT r3 #6)
+        return True
     return row["total_chars"] > 0 and row["link_density"] <= 0.8
 
 
 def needs_repair_col() -> Column:
     """Document-grain needs_repair (reference state.py:37-57 + the
     legitimate-empty rule): no passing attempt, not covered by born-digital
-    native text, and the source actually has extractable content."""
+    native text, and the source actually has extractable content — OR is
+    an image-only scan, whose content lives in the raster tier."""
     any_passing = F.exists("attempts", lambda a: a["audit_passed"])
     # coalesce: a NULL native_text must behave like "" (the Python
     # mirror's `or ""`), not poison the whole predicate to NULL
@@ -564,7 +585,10 @@ def needs_repair_col() -> Column:
         F.length(F.coalesce("native_text", F.lit(""))) > 0
     )
     has_content = (F.col("total_chars") > 0) & (F.col("link_density") <= 0.8)
-    return ~any_passing & ~bd_covered & has_content & F.col("parse_ok")
+    return (
+        ~any_passing & ~bd_covered & (has_content | scanned_col())
+        & F.col("parse_ok")
+    )
 
 
 def repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFrame:
@@ -575,11 +599,13 @@ def repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())
-    def route_udf(attempts: pd.Series, needing: pd.Series) -> pd.Series:
+    def route_udf(
+        attempts: pd.Series, needing: pd.Series, scanned: pd.Series
+    ) -> pd.Series:
         from smart_ocr_spark.kernel import repair as repair_kernel
 
         out = []
-        for atts, need in zip(attempts, needing):
+        for atts, need, scan in zip(attempts, needing, scanned):
             if not need:
                 out.append(None)
                 continue
@@ -597,12 +623,18 @@ def repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFrame:
                     # O6 retry budget (meant for nondeterministic engines)
                     # would burn a repair round on a guaranteed no-op
                     truncation_retries=0,
+                    scanned=bool(scan),
                 )
             )
         return pd.Series(out, dtype=object)
 
     df = df.withColumn(
-        "_routed", route_udf("attempts", needs_repair_col().cast("boolean"))
+        "_routed",
+        route_udf(
+            "attempts",
+            needs_repair_col().cast("boolean"),
+            scanned_col().cast("boolean"),
+        ),
     )
     return _apply_variant_attempt(df, variant_expr=F.col("_routed")).drop("_routed")
 
@@ -645,6 +677,7 @@ def fused_repair_round(df: DataFrame, chain: list[str] | None = None) -> DataFra
                     # deterministic kernels: same-variant truncation retry
                     # is a guaranteed-identical no-op (see route_udf note)
                     truncation_retries=0,
+                    scanned=scanned_py(row),
                 )
                 if variant is None:
                     if "repair_exhausted" in row:
@@ -904,6 +937,9 @@ VARIANT_COST_MICROUSD = {
     "density": 0,
     "basic": 0,
     "raw": 0,
+    # scanned-recovery tier: rasterize + local OCR (tesseract-class) is
+    # compute, not API spend — free like the other local kernels
+    "raster": 0,
 }
 
 

@@ -299,6 +299,7 @@ def build_pdf(
     raw_page_prefix: list[str] | None = None,
     image_pages: list[bool] | None = None,
     image_placements: list[str | None] | None = None,
+    image_streams: list[bytes | None] | None = None,
 ) -> bytes:
     """Write a minimal PDF.  ``pages`` = per page a list of (x, y, text)
     line placements; ``fonts`` = BaseFont names (F1 is used for all text;
@@ -309,7 +310,11 @@ def build_pdf(
     (scanned-page analog: a page can be image-only by passing [] for its
     text placements); ``image_placements`` = per-page override of the
     default image placement op (raw content-stream string painting
-    ``/Im1``; only applies to pages flagged in ``image_pages``)."""
+    ``/Im1``; only applies to pages flagged in ``image_pages``);
+    ``image_streams`` = per-page raw image-stream bytes (pages with a
+    custom stream get their OWN image XObject — the raster-recovery
+    fixtures embed a deterministic scan payload per page; pages without
+    one share the default 8x8 raster)."""
     fonts = fonts or ["Helvetica"]
     objects: list[bytes] = []
 
@@ -329,12 +334,8 @@ def build_pdf(
         f"/F{i+1} {oid} 0 R" for i, oid in enumerate(font_ids)
     )
 
-    image_id = None
-    if image_pages and any(image_pages):
-        # tiny 8x8 grayscale "scan" raster — the parser only reads the
-        # XObject header (Subtype /Image), never the pixels
-        pix = zlib.compress(bytes(range(0, 256, 4)))
-        image_id = add(
+    def add_image(pix: bytes) -> int:
+        return add(
             (
                 "<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
                 "/ColorSpace /DeviceGray /BitsPerComponent 8 "
@@ -342,6 +343,19 @@ def build_pdf(
             ).encode("latin-1")
             + b"\nstream\n" + pix + b"\nendstream"
         )
+
+    image_id = None
+    page_image_ids: dict[int, int] = {}
+    if image_pages and any(image_pages):
+        # tiny 8x8 grayscale "scan" raster — the parser only reads the
+        # XObject header (Subtype /Image), never the pixels — shared by
+        # pages without a custom stream
+        image_id = add_image(zlib.compress(bytes(range(0, 256, 4))))
+        if image_streams:
+            for i, stream in enumerate(image_streams):
+                if stream is not None and image_pages and i < len(image_pages) \
+                        and image_pages[i]:
+                    page_image_ids[i] = add_image(stream)
 
     page_ids = []
     content_ids = []
@@ -377,8 +391,9 @@ def build_pdf(
     pages_id_placeholder = len(objects) + len(pages) + 1
     for i, cid in enumerate(content_ids):
         has_image = bool(image_pages and i < len(image_pages) and image_pages[i])
+        img_oid = page_image_ids.get(i, image_id)
         xobj_res = (
-            f"/XObject << /Im1 {image_id} 0 R >> " if has_image and image_id else ""
+            f"/XObject << /Im1 {img_oid} 0 R >> " if has_image and img_oid else ""
         )
         pid = add(
             (
@@ -487,10 +502,34 @@ def _mk_pdf_sparse(rng, vocab):
 def _mk_pdf_scanned(rng, vocab):
     """Rasterized-scan analog (reference benchmark/rasterize.py:17-80,
     category ``scanned``, dataset.py:20): image-only pages with NO text
-    layer.  The pipeline must classify is_born_digital=false, route
-    without producing text (no raster OCR in the kernel set, S3
-    partial-by-design), and land in the ``failed_scanned`` status —
-    never an empty-text 'success'."""
+    layer.  The pipeline must classify is_born_digital=false and route
+    to the raster-recovery tier (``kernel/raster.py``).
+
+    Half the scans are RECOVERABLE: their image streams carry the
+    deterministic synthetic-scan payload (what the rendered pixels
+    would spell to an OCR model), so the ``raster`` repair variant
+    recovers the golden text and the doc lands in ``success`` with a
+    raster attempt row.  The other half have raw pixels only — the
+    honest no-backend answer is "" and they land in ``failed_scanned``
+    (never an empty-text 'success')."""
+    from smart_ocr_spark.kernel.raster import encode_scan_text
+
+    recoverable = rng.random() < 0.5
+    if recoverable:
+        # >= the 50-word audit floor in total, whatever the page count
+        n_pages = rng.randint(2, 3)
+        page_texts = [
+            " ".join(vocab[rng.randrange(len(vocab))] for _ in range(40))
+            for _ in range(n_pages)
+        ]
+        pdf = build_pdf(
+            [[] for _ in range(n_pages)],
+            image_pages=[True] * n_pages,
+            image_streams=[encode_scan_text(t) for t in page_texts],
+        )
+        # reference state.py:148 page separator — what the recovery
+        # variant assembles (kernel/raster.extract_payload_raster)
+        return pdf, "\n\n---\n\n".join(page_texts)
     n_pages = rng.randint(1, 3)
     pdf = build_pdf([[] for _ in range(n_pages)],
                     image_pages=[True] * n_pages)

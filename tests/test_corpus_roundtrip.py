@@ -14,9 +14,15 @@ N_DOCS = 300
 
 
 def pipeline_extract(payload: bytes) -> str:
-    """The per-row extraction the Spark pipeline performs."""
+    """The per-row extraction the Spark pipeline performs: the primary
+    pass, plus the raster-recovery tier the repair loop routes
+    image-only scans through (kernel/raster.py, round 4)."""
     if sniff_pdf(payload):
-        text, _ = extract_pdf(payload, "layout")
+        text, sig = extract_pdf(payload, "layout")
+        if not text.strip() and sig.get("n_images", 0) > 0:
+            from smart_ocr_spark.kernel.raster import extract_payload_raster
+
+            text = extract_payload_raster(payload)
     else:
         text, _ = extract_html(payload.decode("utf-8", "replace"), "layout")
     return strip_phantom_images(normalize_generic(text))

@@ -484,13 +484,18 @@ class TestNeedsRepairMirror:
 
         rows = []
         rid = 0
-        for parse_ok, passed, is_bd, native, chars, ld in itertools.product(
+        for (
+            parse_ok, passed, is_bd, native, chars, ld, is_pdf, n_img
+        ) in itertools.product(
             [True, False], [True, False], [True, False],
             ["", "native", None], [0, 10], [0.5, 0.9],
+            # scanned dimensions (round 4): image-only PDFs are
+            # retriable through the raster tier despite total_chars==0
+            [True, False], [0, 2],
         ):
             rows.append(
                 (str(rid), [att(passed)], native, is_bd, parse_ok,
-                 chars, ld)
+                 chars, ld, is_pdf, n_img)
             )
             rid += 1
         schema = StructType([
@@ -501,6 +506,8 @@ class TestNeedsRepairMirror:
             StructField("parse_ok", BooleanType()),
             StructField("total_chars", LongType()),
             StructField("link_density", DoubleType()),
+            StructField("is_pdf", BooleanType()),
+            StructField("n_images", IntegerType()),
         ])
         df = spark.createDataFrame(rows, schema)
         jvm_true = {

@@ -89,29 +89,48 @@ def test_statuses_sane(results):
     }
 
 
-def test_scanned_class_fails_gracefully(results):
-    """Reference `scanned` benchmark category analog (rasterize.py:17-80):
-    image-only PDFs must classify as NOT born-digital, produce no text,
-    never enter the repair loop (no raster ladder in-kernel), and land in
-    the distinct failed_scanned bucket — not an empty-text 'success'."""
+def test_scanned_class_routes_through_raster_tier(results):
+    """Reference `scanned` benchmark category analog (rasterize.py:17-80
+    + the OCR-engine routing, round 4): image-only PDFs classify as NOT
+    born-digital and route through the raster-recovery tier.  Scans with
+    a recoverable layer come back as `success` selected from the raster
+    attempt; raw-pixel scans keep the distinct failed_scanned bucket
+    with their raster attempt recorded as an honest empty — never an
+    empty-text 'success'."""
     scanned = results.filter(F.col("url").contains("/pdf_scanned/"))
     n = scanned.count()
     assert n > 0, "corpus must contain scanned docs at N_DOCS=250"
     rows = scanned.select(
         "status", "is_born_digital", "final_text", "attempts", "n_images",
-        "is_pdf", "total_chars",
+        "is_pdf", "total_chars", "selected_variant", "engines_used",
     ).collect()
+    n_rec, n_raw = 0, 0
     for r in rows:
-        assert r["status"] == "failed_scanned"
         assert r["is_pdf"] and r["n_images"] > 0
         assert not r["is_born_digital"]
-        assert r["final_text"] == ""
         assert r["total_chars"] == 0
-        # no repair churn: the single primary attempt, audit-failed
-        # with the right failure mode (nothing to extract)
-        assert len(r["attempts"]) == 1
-        assert not r["attempts"][0]["audit_passed"]
-        assert r["attempts"][0]["primary_failure"] == "empty_output"
+        # every scan got exactly one raster attempt (the only candidate
+        # the scanned router offers), escalated from the primary
+        rasters = [a for a in r["attempts"] if a["variant"] == "raster"]
+        assert len(rasters) == 1
+        assert "raster" in r["engines_used"]
+        if r["status"] == "success":
+            n_rec += 1
+            assert r["selected_variant"] == "raster"
+            assert r["final_text"] != ""
+            assert rasters[0]["audit_passed"]
+        else:
+            n_raw += 1
+            assert r["status"] == "failed_scanned"
+            assert r["final_text"] == ""
+            assert not rasters[0]["audit_passed"]
+            assert rasters[0]["primary_failure"] == "empty_output"
+            # exhausted after raster: exactly primary + raster, no
+            # text-chain churn on a doc with no text layer
+            assert len(r["attempts"]) == 2
+    # both classes are pinned individually by tests/test_raster.py; the
+    # 250-doc fixture may roll few scans, so only coverage is asserted
+    assert n_rec + n_raw == n, (n_rec, n_raw, n)
 
 
 def test_deterministic_across_parallelism(spark):

@@ -169,3 +169,30 @@ def test_quality_keep_list_pushes_lang_filter(spark):
     pushed = plan.split("PushedFilters")[1].splitlines()[0]
     assert "lang" in pushed, pushed
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_figure_embed_adds_no_python_or_shuffle(spark):
+    """The figure-block embed (round 4) is pure JVM column algebra over
+    the frame the parse pass already produced: the embedded plan must
+    contain exactly the SAME Python-eval nodes as the plain
+    with_figures pipeline (no extra Arrow pass) and no new Exchange."""
+    from pyspark.sql import functions as F
+
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(8)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.encode(F.concat(F.lit("<p>"), "text", F.lit("</p>")), "UTF-8")
+            .alias("html"),
+            "lang",
+        )
+    )
+    base = plan_of(run_extraction(spark, docs, with_figures=True))
+    embedded = plan_of(run_extraction(spark, docs, embed_figures=True))
+    assert embedded.count("ArrowEvalPython") == base.count("ArrowEvalPython")
+    assert embedded.count("MapInPandas") == base.count("MapInPandas")
+    assert embedded.count("Exchange") == base.count("Exchange")
