@@ -66,6 +66,41 @@ def build_corpus(spark, sf_dir: str, replicas: int, failure_rate: float = 0.0):
     )
 
 
+def hw_probe(seconds: float = 0.5, core: int = 0) -> float:
+    """Single-core pinned CPU probe: MD5 rounds/sec on ``core``.
+
+    The SAME-RUN hardware control (VERDICT r3 #7): sampled immediately
+    before and after the timed Spark job, it records the box's
+    effective per-core speed at that run's boundaries.  A drop between
+    the two samples means sustained-load throttling engaged DURING the
+    run — the 8→32 shortfall is then attributable to the host inside
+    the same JSON line, not to a separate anecdote.  The probe pins
+    itself to one core (the JVM is a separate process and is not
+    affected) and restores affinity after."""
+    import hashlib
+
+    try:
+        old = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, {core})
+    except (AttributeError, OSError):
+        old = None
+    h = hashlib.md5()
+    block = b"x" * 4096
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(100):
+            h.update(block)
+        n += 100
+    rate = n / (time.perf_counter() - t0)
+    if old is not None:
+        try:
+            os.sched_setaffinity(0, old)
+        except OSError:
+            pass
+    return rate
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", required=True)
@@ -73,6 +108,11 @@ def main() -> int:
     ap.add_argument(
         "--failure-rate", type=float, default=0.0,
         help="fraction of docs planted as auditable failures (repair load)",
+    )
+    ap.add_argument(
+        "--hw-control", action="store_true",
+        help="sample a pinned single-core CPU probe before/after the "
+             "timed run (same-run throttle attribution)",
     )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +148,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    hw_before = hw_probe() if args.hw_control else None
     t0 = time.perf_counter()
     res = run_extraction(spark, corpus)
     # Force FULL computation (a bare count() lets Catalyst prune the
@@ -130,25 +171,28 @@ def main() -> int:
         ).alias("n_repaired_docs"),
     ).collect()[0]
     wall = time.perf_counter() - t0
+    hw_after = hw_probe() if args.hw_control else None
 
     assert agg["n"] == n_docs, (agg["n"], n_docs)
-    print(
-        json.dumps(
-            {
-                "master": args.master,
-                "n_docs": n_docs,
-                "wall_sec": round(wall, 2),
-                "docs_per_sec": round(n_docs / wall, 2),
-                "corpus_checksum": int(agg["checksum"]),
-                "total_text_bytes": int(agg["total_text_bytes"]),
-                "n_multi_attempt": int(agg["n_multi_attempt"]),
-                "n_repaired_docs": int(agg["n_repaired_docs"]),
-                "failure_rate": args.failure_rate,
-                "sf_dir": args.sf_dir,
-                "replicas": args.replicas,
-            }
-        )
-    )
+    out = {
+        "master": args.master,
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "corpus_checksum": int(agg["checksum"]),
+        "total_text_bytes": int(agg["total_text_bytes"]),
+        "n_multi_attempt": int(agg["n_multi_attempt"]),
+        "n_repaired_docs": int(agg["n_repaired_docs"]),
+        "failure_rate": args.failure_rate,
+        "sf_dir": args.sf_dir,
+        "replicas": args.replicas,
+    }
+    if args.hw_control:
+        out["hw_core_rate_before"] = round(hw_before, 0)
+        out["hw_core_rate_after"] = round(hw_after, 0)
+        # < 1.0 means the box slowed down over this run's duration
+        out["hw_throttle_ratio"] = round(hw_after / hw_before, 3)
+    print(json.dumps(out))
     spark.stop()
     return 0
 

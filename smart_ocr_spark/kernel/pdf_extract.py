@@ -859,13 +859,16 @@ def extract_structured_page(
     fmap: dict[str, str] | None = None,
     page_width: float = 612.0,
     x_origin: float = 0.0,
+    runs: "list | None" = None,
 ) -> str | None:
     """Structured (table-aware) page rendering, P14 for ruled PDF pages
     (reference born_digital.py:512-591 ``extract_structured``): text
     runs inside the grid become a markdown table (cells assigned by rule
     intervals, first row = header, P15 renderer); prose above/below the
     grid renders normally; the pieces interleave in reading order.
-    Returns None when the page has no ruled grid."""
+    Returns None when the page has no ruled grid.  ``runs`` lets a
+    caller that already interpreted the content stream skip the second
+    pass (extract_pdf's per-page loop)."""
     import bisect
 
     grid = find_ruled_grid(content)
@@ -874,7 +877,8 @@ def extract_structured_page(
     from smart_ocr_spark.kernel.html_extract import table_to_markdown
 
     x_rules, y_rules = grid
-    runs = interpret_content(content, fmap)
+    if runs is None:
+        runs = interpret_content(content, fmap)
     x0, x1 = x_rules[0] - 2.0, x_rules[-1] + 2.0
     y0, y1 = y_rules[0] - 2.0, y_rules[-1] + 2.0
     above, in_table, below = [], [], []
@@ -929,6 +933,7 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
     doc = PdfDocument(data)
     pages = doc.pages()
     page_texts: list[str] = []
+    plain_page_texts: list[str] = []
     n_fonts = set()
     math_font = False
     ruled_table = False
@@ -953,26 +958,46 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
         x_origin = float(doc.resolve(media[0]))
         page_width = float(doc.resolve(media[2])) - x_origin
         content = doc.page_content(page)
-        if not ruled_table:
-            # P9 structural half: grid-line tables (byte probe exits
-            # immediately on the op-free prose majority)
-            ruled_table = detect_ruled_table(content)
         runs = interpret_content(content, fmap)
         lines = reconstruct_lines(runs)
         n_cols = estimate_columns(lines, page_width)
         max_cols = max(max_cols, n_cols)
+        # P14 in the production path (ADVICE r3): ruled pages render
+        # through the structured (table-aware) extractor on the layout
+        # variant — the reference's native path does exactly this when
+        # find_tables fires (born_digital.py:369-372).  The basic
+        # variant stays the grid-free escape hatch (reference get_text
+        # analog), so a repair to basic/density/raw can recover pages
+        # where the grid interpretation itself was the failure.
+        structured = None
+        if variant != "basic":
+            structured = extract_structured_page(
+                content, fmap, page_width, x_origin=x_origin, runs=runs
+            )
+        if structured is not None:
+            ruled_table = True
+        elif not ruled_table:
+            # P9 structural half: grid-line tables (byte probe exits
+            # immediately on the op-free prose majority)
+            ruled_table = detect_ruled_table(content)
         # "basic" is a genuinely different reconstruction, not just a
         # different page separator: single-column y-order rendering —
         # the repair-tier escape hatch for pages where the column
         # split itself was the failure
-        page_texts.append(
-            render_page_text(
-                lines,
-                page_width,
-                x_origin=x_origin,
-                n_cols=1 if variant == "basic" else n_cols,
-            )
+        plain = render_page_text(
+            lines,
+            page_width,
+            x_origin=x_origin,
+            n_cols=1 if variant == "basic" else n_cols,
         )
+        # signals page_texts stay PLAIN even on ruled pages: the
+        # reference computes the born-digital signal battery from raw
+        # get_text and only swaps the NATIVE OUTPUT to the structured
+        # rendering (born_digital.py:330-372) — markdown pipes in the
+        # signal text would inflate the garbage ratio and flip
+        # borderline pages to scanned
+        plain_page_texts.append(plain)
+        page_texts.append(structured if structured is not None else plain)
 
     if any(pt.strip() for pt in page_texts):
         text = (
@@ -988,8 +1013,10 @@ def extract_pdf(data: bytes, variant: str = "layout") -> tuple[str, dict]:
     signals = {
         # raw per-page texts so callers can build other joins without a
         # lossy string replace on the separator (a page legitimately
-        # containing a '---' line must not be corrupted)
-        "page_texts": page_texts,
+        # containing a '---' line must not be corrupted).  PLAIN
+        # renderings (see above): structured output lives only in the
+        # joined text
+        "page_texts": plain_page_texts,
         # the parsed document, for callers that run further passes over
         # the same payload (inline figure extraction) — POPPED by
         # extract_payload_full before the dict reaches any Arrow schema

@@ -75,7 +75,11 @@ CLASSES = [
     # class assignment — unchanged across rounds
     ("images", 3),
     ("pdf_scanned", 1),
-    ("pdf_prose", 8),
+    # round 4: one weight unit carved out of pdf_prose (8 -> 7) for the
+    # ruled-table class, positioned right after it — _TOTAL_W and every
+    # other class's range (and therefore assignment) stay unchanged
+    ("pdf_prose", 7),
+    ("pdf_table", 1),
     ("pdf_multicol", 4),
     ("pdf_math", 3),
     ("pdf_sparse", 2),
@@ -488,6 +492,40 @@ def _mk_pdf_multicol(rng, vocab):
     return build_pdf([left + right]), lg + "\n\n" + rg
 
 
+def _mk_pdf_table(rng, vocab):
+    """Ruled-grid table page (P9 structural detection + P14 structured
+    extraction in the PRODUCTION path, round 4; reference
+    born_digital.py:369-372 routes find_tables pages through
+    extract_structured).  The golden is constructed independently from
+    the known cell matrix: prose paragraph above the grid, then the P15
+    markdown rendering of the cells (header row first)."""
+    from smart_ocr_spark.kernel.html_extract import table_to_markdown
+
+    def words(n):
+        return " ".join(vocab[rng.randrange(len(vocab))] for _ in range(n))
+
+    x_rules = [100.0, 220.0, 340.0, 460.0]
+    y_rules = [500.0, 540.0, 580.0, 620.0]
+    ops = []
+    for y in y_rules:
+        ops.append(f"{x_rules[0]:.0f} {y:.0f} m {x_rules[-1]:.0f} {y:.0f} l S")
+    for x in x_rules:
+        ops.append(f"{x:.0f} {y_rules[0]:.0f} m {x:.0f} {y_rules[-1]:.0f} l S")
+
+    # 3x3 cells, filled-in words keep the whole doc over the 50-word
+    # audit floor so the structured attempt passes first_passing
+    cells = [[words(rng.randint(4, 6)) for _ in range(3)] for _ in range(3)]
+    placements = [(72.0, 700.0, words(rng.randint(8, 12)))]
+    prose = placements[0][2]
+    # rows top-down: header at the top band (y between 580 and 620)
+    for ri, y in enumerate((595.0, 555.0, 515.0)):
+        for ci, x in enumerate((105.0, 225.0, 345.0)):
+            placements.append((x, y, cells[ri][ci]))
+    pdf = build_pdf([placements], raw_page_prefix=[" ".join(ops)])
+    golden = prose + "\n\n" + table_to_markdown(cells)
+    return pdf, golden
+
+
 def _mk_pdf_math(rng, vocab):
     placements, golden = _pdf_page_lines(rng, vocab, 2)
     pdf = build_pdf([placements], fonts=["Helvetica", "CMMI10", "CMSY10"])
@@ -563,6 +601,7 @@ _HTML_BUILDERS = {
 }
 _PDF_BUILDERS = {
     "pdf_prose": _mk_pdf_prose,
+    "pdf_table": _mk_pdf_table,
     "pdf_multicol": _mk_pdf_multicol,
     "pdf_math": _mk_pdf_math,
     "pdf_sparse": _mk_pdf_sparse,
