@@ -38,8 +38,11 @@ def main() -> int:
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    qs = entry.queries()
-    osql = entry.oracle_sql()
+    qs = dict(entry.queries())
+    osql = dict(entry.oracle_sql())
+    # overflow beyond the driver's 50-query cap: same compare, local gate
+    qs.update(entry.extra_queries())
+    osql.update(entry.extra_oracle_sql())
     keys = sys.argv[1:] or [k for k in qs if k in osql]
     failures = 0
     for k in keys:

@@ -13,8 +13,12 @@ from smart_ocr_spark.functions import (
     curation,
     dedup,
     multimodal,
+    repetition,
     similarity,
     text_analysis,
 )
 
-__all__ = ["curation", "dedup", "multimodal", "similarity", "text_analysis"]
+__all__ = [
+    "curation", "dedup", "multimodal", "repetition", "similarity",
+    "text_analysis",
+]

@@ -83,3 +83,148 @@ def stream_extraction(
 
 def read_stream_results(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, RESULTS_SUBDIR))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed ingestion stats (watermark + late data, §2.11)
+# ---------------------------------------------------------------------------
+
+STATS_SUBDIR = "ingest_stats"
+STATS_CKPT_SUBDIR = "_stats_checkpoint"
+
+
+def stream_ingestion_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Crawl-time ingestion monitoring: per (event-time window, lang)
+    doc counts and payload bytes over the landing stream.
+
+    This is the classic Structured Streaming stateful shape the bounded
+    reference has no analog for: ``warc_ts`` is EVENT time (when the
+    page was crawled), not arrival time — dumps land out of order, so
+    the aggregation carries a watermark.  Append mode emits each window
+    exactly once, when the watermark passes its end: rows later than
+    ``watermark`` are DROPPED (never a silent double-count), and state
+    is bounded by the watermark horizon instead of growing with the
+    corpus — the property that matters at 100 TB of backlog.
+    """
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("html")).alias("payload_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang", "n_docs", "payload_bytes",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, STATS_SUBDIR))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, STATS_CKPT_SUBDIR)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ingestion_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, STATS_SUBDIR))
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup across micro-batches (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+DEDUP_SUBDIR = "deduped"
+DEDUP_CKPT_SUBDIR = "_dedup_checkpoint"
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    n_buckets: int = 64,
+):
+    """First-seen-wins exact dedup ACROSS micro-batches: a custom
+    stateful operator (``applyInPandasWithState``) keyed by a
+    content-hash bucket.
+
+    Each group's state is the set of content sha256s seen so far in
+    that bucket; a row whose hash is already in state is dropped, new
+    hashes pass through and extend the state.  Bucketing by
+    ``pmod(xxhash64(sha256), n_buckets)`` spreads state across tasks
+    (no single-key hot state) and makes the state size per group
+    O(distinct_hashes / n_buckets).  The bounded-batch analog is
+    ``functions/dedup.exact_dedup``; this is the shape that survives a
+    landing stream where duplicates arrive days apart — state lives in
+    the streaming checkpoint and a restart resumes with the seen-set
+    intact.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("content_sha", F.sha2("html", 256))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("content_sha"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+
+    out_schema = (
+        "url string, warc_ts timestamp, lang string, content_sha string"
+    )
+    state_schema = "seen array<string>"
+
+    def dedup_group(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for url, ts, lang, sha in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["content_sha"]
+            ):
+                if sha in seen:
+                    continue
+                seen.add(sha)
+                out.append((url, ts, lang, sha))
+        state.update((list(seen),))
+        yield pd.DataFrame(
+            out, columns=["url", "warc_ts", "lang", "content_sha"]
+        )
+
+    deduped = stream.groupBy("bucket").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, DEDUP_SUBDIR))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, DEDUP_CKPT_SUBDIR)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, DEDUP_SUBDIR))

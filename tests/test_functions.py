@@ -539,3 +539,35 @@ def test_connected_components_long_chain_converges(spark):
     )
     comps = components.connected_components(pairs)
     assert {r.component_id for r in comps.collect()} == {0}
+
+
+def test_repetition_filters(spark):
+    """Gopher repetition rules (Rae et al. 2021 Table A1): planted
+    repetitive pathologies must trip the right metric; clean prose must
+    not."""
+    from smart_ocr_spark.functions import repetition as rep
+
+    loop_line = "click here to subscribe now\n" * 10 + "one real sentence"
+    loop_para = ("an identical paragraph of boilerplate text\n\n" * 6
+                 + "closing remark")
+    gram_spam = "buy now " * 40 + "unrelated tail words here"
+    clean = ("the first line has unique words\n"
+             "and the second line differs entirely\n"
+             "a third line closes the clean document")
+    rows = [
+        (0, loop_line), (1, loop_para), (2, gram_spam), (3, clean),
+        (4, ""), (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in rep.with_repetition_metrics(df).collect()}
+
+    assert out[0]["dup_line_frac"] > rep.DUP_LINE_MAX and out[0]["repetitive"]
+    assert out[1]["dup_para_frac"] > rep.DUP_PARA_MAX and out[1]["repetitive"]
+    assert out[2]["top_2gram_char_frac"] > rep.TOP_2GRAM_MAX
+    assert out[2]["repetitive"]
+    assert not out[3]["repetitive"]
+    assert out[3]["dup_line_frac"] == 0.0
+    # degenerate docs: nothing repeated, never flagged
+    for d in (4, 5):
+        assert not out[d]["repetitive"]
+        assert out[d]["top_2gram_char_frac"] == 0.0

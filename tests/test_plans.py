@@ -196,3 +196,18 @@ def test_figure_embed_adds_no_python_or_shuffle(spark):
     assert embedded.count("ArrowEvalPython") == base.count("ArrowEvalPython")
     assert embedded.count("MapInPandas") == base.count("MapInPandas")
     assert embedded.count("Exchange") == base.count("Exchange")
+
+
+def test_repetition_stays_jvm_side(spark):
+    """Gopher repetition metrics are explode + keyed aggregation — no
+    Python evaluation anywhere, and the scan prunes to (doc_id, text)."""
+    plan = plan_of(em.q_text_repetition(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # several scan branches feed the joins; every one must prune to at
+    # most (doc_id, text)
+    scans = [
+        part.splitlines()[0] for part in plan.split("ReadSchema")[1:]
+    ]
+    assert scans and all(
+        "html" not in s and "lang" not in s for s in scans
+    ), scans

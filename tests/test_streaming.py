@@ -75,3 +75,94 @@ def test_incremental_stream_extraction(spark, dirs):
     q3 = streaming.stream_extraction(spark, inp + "/*", out)
     q3.awaitTermination(300)
     assert streaming.read_stream_results(spark, out).count() == N1 + N2
+
+
+def _event_rows(spark, rows):
+    """rows = [(url, ts_string, html_bytes, lang)]"""
+    df = spark.createDataFrame(
+        rows, ["url", "ts", "html", "lang"]
+    ).select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"), "html", "lang"
+    )
+    return df
+
+
+def test_watermarked_ingestion_stats(spark, tmp_path_factory):
+    """Event-time windowed rollup with a watermark (§2.11): windows emit
+    exactly once after the watermark passes, and a row later than the
+    watermark is DROPPED — never double-counted."""
+    inp = str(tmp_path_factory.mktemp("wm_in"))
+    out = str(tmp_path_factory.mktemp("wm_out"))
+
+    # dump 1: three docs in the 10:00 window, one 12:00 doc that pushes
+    # the watermark (12:00 - 30min = 11:30) past the 10:00 window's end
+    _event_rows(spark, [
+        ("u1", "2026-01-01 10:01:00", b"<p>a</p>", "en"),
+        ("u2", "2026-01-01 10:04:00", b"<p>bb</p>", "en"),
+        ("u3", "2026-01-01 10:07:00", b"<p>c</p>", "de"),
+        ("u4", "2026-01-01 12:00:00", b"<p>d</p>", "en"),
+    ]).write.mode("overwrite").parquet(os.path.join(inp, "dump1"))
+    q = streaming.stream_ingestion_stats(spark, inp + "/*", out)
+    q.awaitTermination(300)
+
+    stats = streaming.read_ingestion_stats(spark, out)
+    rows = {
+        (str(r["window_start"]), r["lang"]): r for r in stats.collect()
+    }
+    assert rows[("2026-01-01 10:00:00", "en")]["n_docs"] == 2
+    assert rows[("2026-01-01 10:00:00", "en")]["payload_bytes"] == 8 + 9
+    assert rows[("2026-01-01 10:00:00", "de")]["n_docs"] == 1
+    # the 12:00 window is NOT final yet (watermark 11:30)
+    assert not any(k[0].startswith("2026-01-01 12:") for k in rows)
+
+    # dump 2: a LATE 10:05 row (behind the 11:30 watermark -> dropped)
+    # plus a 14:00 row that finalizes the 12:00 window
+    _event_rows(spark, [
+        ("u5", "2026-01-01 10:05:00", b"<p>late</p>", "en"),
+        ("u6", "2026-01-01 14:00:00", b"<p>e</p>", "en"),
+    ]).write.mode("overwrite").parquet(os.path.join(inp, "dump2"))
+    q2 = streaming.stream_ingestion_stats(spark, inp + "/*", out)
+    q2.awaitTermination(300)
+
+    stats2 = streaming.read_ingestion_stats(spark, out)
+    rows2 = {
+        (str(r["window_start"]), r["lang"]): r for r in stats2.collect()
+    }
+    # the late row changed nothing: the 10:00/en window still counts 2,
+    # emitted exactly once
+    en_10 = stats2.filter(
+        (F.col("window_start") == "2026-01-01 10:00:00")
+        & (F.col("lang") == "en")
+    ).collect()
+    assert len(en_10) == 1 and en_10[0]["n_docs"] == 2
+    # the 12:00 window finalized with exactly the one on-time doc
+    assert rows2[("2026-01-01 12:00:00", "en")]["n_docs"] == 1
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState custom stateful operator: first-seen-wins
+    content dedup whose seen-set SURVIVES across micro-batches through
+    the streaming checkpoint."""
+    inp = str(tmp_path_factory.mktemp("dd_in"))
+    out = str(tmp_path_factory.mktemp("dd_out"))
+
+    _event_rows(spark, [
+        ("a1", "2026-01-01 10:00:00", b"<p>same body</p>", "en"),
+        ("a2", "2026-01-01 10:01:00", b"<p>same body</p>", "en"),  # dup of a1
+        ("a3", "2026-01-01 10:02:00", b"<p>other body</p>", "en"),
+    ]).write.mode("overwrite").parquet(os.path.join(inp, "dump1"))
+    q = streaming.stream_exact_dedup(spark, inp + "/*", out)
+    q.awaitTermination(300)
+    got1 = {r["url"] for r in streaming.read_deduped(spark, out).collect()}
+    assert "a3" in got1 and len(got1) == 2  # one of a1/a2 + a3
+
+    # a CROSS-batch duplicate arrives days later: the state remembers
+    _event_rows(spark, [
+        ("b1", "2026-01-03 09:00:00", b"<p>same body</p>", "en"),  # dup again
+        ("b2", "2026-01-03 09:01:00", b"<p>brand new</p>", "en"),
+    ]).write.mode("overwrite").parquet(os.path.join(inp, "dump2"))
+    q2 = streaming.stream_exact_dedup(spark, inp + "/*", out)
+    q2.awaitTermination(300)
+    got2 = {r["url"] for r in streaming.read_deduped(spark, out).collect()}
+    assert "b2" in got2 and "b1" not in got2
+    assert len(got2) == 3
