@@ -56,16 +56,19 @@ class VariantEngine:
         from smart_ocr_spark.kernel.extract import extract_payload_variant
 
         text = extract_payload_variant(self._payload, self.name) or ""
+        ok = bool(text.strip())
         # doc-grain kernels: page 1 carries the whole rendering (the
         # distributed pipeline is likewise document-grain, SURVEY §1.4)
         return [
             {
                 "page_num": pn,
                 "text": text,
-                "status": "success" if text.strip() else "error",
+                "status": "success" if ok else "error",
                 "engine": self.name,
-                "failure_mode": "none" if text.strip() else "empty_output",
-                "audit_passed": True,
+                "failure_mode": "none" if ok else "empty_output",
+                # empty output must not pre-pass (it would become a
+                # passing best_output and disable the repair ladder)
+                "audit_passed": ok,
                 "confidence": 0.0,
                 "escalated_from": "",
                 "processing_time": 0.0,

@@ -234,13 +234,16 @@ def _process_one(path: Path, opts: dict) -> dict:
             from smart_ocr_spark.kernel.extract import extract_payload_variant
 
             text = extract_payload_variant(payload, self.name) or ""
+            ok = bool(text.strip())
             return [
                 {
                     "page_num": pn, "text": text,
-                    "status": "success" if text.strip() else "error",
+                    "status": "success" if ok else "error",
                     "engine": self.name,
-                    "failure_mode": "none" if text.strip() else "empty_output",
-                    "audit_passed": True, "confidence": 0.0,
+                    "failure_mode": "none" if ok else "empty_output",
+                    # an empty output must NOT pre-pass: a passing
+                    # best_output would disable the repair ladder
+                    "audit_passed": ok, "confidence": 0.0,
                     "escalated_from": "", "processing_time": 0.0,
                 }
                 for pn in page_nums
@@ -274,6 +277,14 @@ def _process_one(path: Path, opts: dict) -> dict:
 
             return _Scoring(audit.check(text, expected_pages=expected_pages))
 
+    # image-only PDF with no text layer: route repair to the raster
+    # tier (same rule as operators/extract.scanned_py)
+    scanned_doc = bool(
+        parsed.get("is_pdf")
+        and (parsed.get("n_images") or 0) > 0
+        and not (parsed.get("basic_text") or "").strip()
+    )
+
     class _Router:
         def plan_repairs_doc(self, doc):
             from types import SimpleNamespace as NS
@@ -294,7 +305,7 @@ def _process_one(path: Path, opts: dict) -> dict:
                 )
                 tried = {a["engine"] for a in ps["attempts"]}
                 picked = repair.select_repair_variant(
-                    failure, tried, chain=chain
+                    failure, tried, chain=chain, scanned=scanned_doc
                 )
                 if picked is None:
                     skipped.append(page_num)

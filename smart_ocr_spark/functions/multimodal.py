@@ -66,6 +66,16 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_sha256", StringType()),
+    ]
+)
+
 _MAGIC = [
     (b"\x89PNG", "png"),
     (b"\xff\xd8\xff", "jpeg"),
@@ -146,6 +156,46 @@ def media_features(df: DataFrame, dim: int = 64, fake: bool = True) -> DataFrame
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def image_resize(
+    df: DataFrame, width: int = 224, height: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize-to-model-input (the preprocessing step every vision
+    training pipeline runs before the encoder).  Real decode+resample
+    is NOT available here (no PIL); fake=True emits a deterministic
+    width*height-byte pseudo-raster derived from the payload digest —
+    the exact schema, batch shape, and payload-size profile (output
+    rows carry W×H bytes, NOT the source size) the real kernel would
+    produce, so partitioning/memory behavior downstream is faithfully
+    exercised.  fake=False raises to mark the integration point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL; not in this container"
+                )
+            out_payloads, hashes = [], []
+            for payload in pdf["payload"]:
+                seed = hashlib.sha256(payload or b"").digest()
+                # deterministic pseudo-raster: digest-seeded byte tile
+                reps = (n_bytes + len(seed) - 1) // len(seed)
+                raster = (seed * reps)[:n_bytes]
+                out_payloads.append(raster)
+                hashes.append(hashlib.sha256(raster).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "width": pd.array([width] * len(pdf), dtype="int32"),
+                    "height": pd.array([height] * len(pdf), dtype="int32"),
+                    "resized": out_payloads,
+                    "resized_sha256": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, fake: bool = True) -> DataFrame:

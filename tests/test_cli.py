@@ -135,3 +135,23 @@ def test_legacy_fallback_engine_key(tmp_path):
     cfg = tmp_path / "conf.yaml"
     cfg.write_text(yaml.dump({"fallback_engine": "glm"}))
     assert C.load_yaml_config(cfg)["fallback_chain"] == ["glm"]
+
+
+def test_process_recovers_scanned_pdf(runner, tmp_path):
+    """A scanned (image-only) PDF with a recoverable layer goes through
+    the raster tier end-to-end from the CLI."""
+    from smart_ocr_spark.kernel.raster import encode_scan_text
+
+    texts = [("delta echo foxtrot golf " * 15).strip()]
+    src = tmp_path / "scan.pdf"
+    src.write_bytes(build_pdf(
+        [[]],
+        image_pages=[True],
+        image_streams=[encode_scan_text(texts[0])],
+    ))
+    out = tmp_path / "out"
+    r = runner.invoke(C.process, [str(src), "-o", str(out)])
+    assert r.exit_code == 0, r.output
+    assert "status: success" in r.output
+    md = (out / "scan" / "scan.md").read_text()
+    assert md == texts[0]

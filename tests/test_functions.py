@@ -317,6 +317,26 @@ def test_media_features_real_decode_raises(spark):
         multimodal.media_features(media, fake=False).collect()
 
 
+def test_image_resize_plumbing(spark):
+    """Resize-to-model-input: output rows carry exactly W*H bytes (the
+    real kernel's payload-size profile), deterministically derived, and
+    the real-decode path refuses honestly."""
+    rows = [
+        ("u1", "image", b"\x89PNG\r\n" + b"x" * 5000),
+        ("u2", "image", b"\xff\xd8\xff\xe0" + b"y" * 50),
+        ("u3", "image", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.url: r for r in multimodal.image_resize(media, 32, 24).collect()}
+    assert all(r.width == 32 and r.height == 24 for r in out.values())
+    assert all(len(r.resized) == 32 * 24 for r in out.values())
+    assert out["u1"].resized != out["u2"].resized  # payload-derived
+    out2 = {r.url: r for r in multimodal.image_resize(media, 32, 24).collect()}
+    assert out["u1"].resized_sha256 == out2["u1"].resized_sha256
+    with pytest.raises(Exception):
+        multimodal.image_resize(media, fake=False).collect()
+
+
 def test_ivf_topk_recall(embeddings):
     from smart_ocr_spark.functions import similarity
 
