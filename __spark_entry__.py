@@ -614,6 +614,59 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition.with_repetition_metrics(_t(spark, sf_dir, "documents"))
 
 
+def _planted_url_col():
+    """Deterministic messy URL per doc (the synthetic corpus has no
+    real URLs): pairs (2k, 2k+1) differ only in case, default port,
+    trailing slash, tracking params, param order, and fragment — the
+    exact junk canonicalization must collapse."""
+    k = (F.col("doc_id") / 2).cast("bigint")
+    return F.concat(
+        F.lit("https://Site"), (k % 50).cast("string"),
+        F.lit(".Example.ORG"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/item"), k.cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("?utm_source=feed&id="), k.cast("string"),
+                     F.lit("&b=2")),
+        ).otherwise(F.concat(F.lit("?b=2&id="), k.cast("string"))),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("#sec"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + first-id-wins dedup (the cheapest
+    web-corpus dedup tier, run before any content pass): each doc gets
+    a deterministically-messy planted URL; the oracle re-derives the
+    same canonicalization with its own regexp chain, so any drift in
+    scheme/host casing, port, slash, tracking-param, ordering, or
+    fragment handling breaks the match."""
+    from smart_ocr_spark.functions import urls
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _planted_url_col().alias("url")
+    )
+    return urls.url_dedup_keep_list(docs)
+
+
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation rollup over the planted URLs: raw docs vs
+    distinct canonical URLs vs dedup survivors (the host-grain
+    spam/mirror signal)."""
+    from smart_ocr_spark.functions import urls
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _planted_url_col().alias("url")
+    )
+    return urls.host_stats(docs)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import dedup
 
@@ -1235,6 +1288,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     difference."""
     return {
         "text_repetition": q_text_repetition,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "url_host_stats": q_url_host_stats,
     }
 
 
@@ -2271,6 +2326,48 @@ FROM c
     }
 
 
+# Shared CTE prefix: plant the messy URLs (mirror of _planted_url_col)
+# and canonicalize them with DuckDB's own regexp chain.
+_URL_CANON_SQL = """
+WITH u AS (SELECT doc_id,
+  'https://Site' || ((doc_id // 2) % 50) || '.Example.ORG'
+  || CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END
+  || '/Articles/item' || (doc_id // 2)
+  || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 2 = 1
+       THEN '?utm_source=feed&id=' || (doc_id // 2) || '&b=2'
+       ELSE '?b=2&id=' || (doc_id // 2) END
+  || CASE WHEN doc_id % 3 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+  FROM documents),
+parts AS (SELECT doc_id,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS proto,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+    AS hostport,
+  regexp_replace(
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
+    '/+$', '') AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u),
+parts2 AS (SELECT doc_id, proto,
+  regexp_replace(hostport, ':[0-9]+$', '') AS host,
+  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+  path,
+  array_to_string(list_sort(list_filter(string_split(query, '&'),
+    x -> x <> '' AND NOT regexp_matches(x,
+      '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)'))), '&')
+    AS q
+  FROM parts),
+canon AS (SELECT doc_id, host,
+  proto || '://'
+  || CASE WHEN port <> '' AND NOT ((proto = 'http' AND port = '80')
+                                   OR (proto = 'https' AND port = '443'))
+       THEN host || ':' || port ELSE host END
+  || path
+  || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+  FROM parts2)
+"""
+
+
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for extra_queries() — same DuckDB dialect and compare as
     oracle_sql(), verified by pytest/validate_oracles instead of the
@@ -2337,5 +2434,22 @@ FROM documents d
 LEFT JOIN lstat l ON l.doc_id = d.doc_id
 LEFT JOIN pstat p ON p.doc_id = d.doc_id
 LEFT JOIN top g ON g.doc_id = d.doc_id
+""",
+        # the planted-URL build + an independent regexp canonicalization
+        # chain (lowercase scheme/host, default-port strip, fragment
+        # drop, trailing-slash strip, tracking-param drop, param sort)
+        "url_canonical_dedup": _URL_CANON_SQL + """
+SELECT doc_id, canonical_url, host,
+  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS kept
+FROM canon
+""",
+        "url_host_stats": _URL_CANON_SQL + """
+, keep AS (SELECT doc_id, canonical_url, host,
+    doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS kept
+  FROM canon)
+SELECT host, count(*) AS n_docs,
+  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM keep GROUP BY host
 """,
     }

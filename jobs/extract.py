@@ -37,6 +37,10 @@ def main() -> int:
                     help="cap buckets this run (bounded blast radius)")
     ap.add_argument("--dry-run", action="store_true",
                     help="report pending buckets/rows without processing")
+    ap.add_argument("--embed-figures", action="store_true",
+                    help="append figure blocks (metadata + deterministic "
+                         "stub captions) to final_text, reference "
+                         "save_figures analog")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -54,6 +58,7 @@ def main() -> int:
         n_buckets=args.buckets,
         max_buckets_this_run=args.max_buckets,
         dry_run=args.dry_run,
+        embed_figures=args.embed_figures,
     )
     print(json.dumps(stats))
     spark.stop()

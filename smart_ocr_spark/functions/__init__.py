@@ -16,9 +16,10 @@ from smart_ocr_spark.functions import (
     repetition,
     similarity,
     text_analysis,
+    urls,
 )
 
 __all__ = [
     "curation", "dedup", "multimodal", "repetition", "similarity",
-    "text_analysis",
+    "text_analysis", "urls",
 ]

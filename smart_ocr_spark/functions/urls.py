@@ -1,0 +1,102 @@
+"""URL canonicalization + host-level curation stats (web-pipeline ops:
+Common-Crawl-style corpora dedup by normalized URL before any content
+pass — the cheapest dedup tier — and score hosts as spam/quality units;
+ccnet and the CC processing literature both work at these grains).
+
+All pure JVM column algebra (regexp chains + array ops), so the
+canonicalization runs inside whole-stage codegen and the dedup is one
+shuffle keyed by canonical URL.
+
+Canonical form (documented contract, mirrored verbatim by the DuckDB
+oracle):
+  * scheme and host lowercased; default ports stripped (http:80,
+    https:443); other ports kept;
+  * fragment dropped;
+  * trailing slashes stripped from the path (root collapses to "");
+  * tracking parameters dropped (utm_*, gclid, fbclid, ref, mc_cid,
+    mc_eid), remaining query params SORTED (order-insensitive dedup),
+    empty query dropped;
+  * non-URL strings (no ``scheme://``) pass through lowercased — a
+    conservative identity-ish fallback rather than a guess.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# anchored match over one "k=v" (or bare "k") query token
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host without the port ('' for non-URLs)."""
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    return F.regexp_replace(hostport, r":\d+$", "")
+
+
+def canonical_url_col(url: Column) -> Column:
+    proto = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    hostc = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(url, _PATH_RE, 1), r"/+$", ""
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qstr = F.array_join(kept, "&")
+    canonical = F.concat(
+        proto, F.lit("://"), hostc, path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when(proto != "", canonical).otherwise(F.lower(url))
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    u = F.col(url_col)
+    return df.withColumn("canonical_url", canonical_url_col(u)).withColumn(
+        "host", host_col(u)
+    )
+
+
+def url_dedup_keep_list(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """(id, canonical_url, host, kept): first-id-wins per canonical URL
+    — the cheapest dedup tier, run BEFORE any content pass.  One
+    shuffle keyed by canonical_url; deterministic on any partitioning
+    (min id, not first arrival)."""
+    c = with_canonical_url(df, url_col)
+    w = Window.partitionBy("canonical_url")
+    return c.select(
+        F.col(id_col), "canonical_url", "host",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("kept"),
+    )
+
+
+def host_stats(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Per-host curation rollup: raw docs, distinct canonical URLs
+    (raw - distinct = the host's URL-dup mass, a classic spam/mirror
+    signal), and survivors of the URL dedup."""
+    keep = url_dedup_keep_list(df, id_col, url_col)
+    return keep.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canonical_url").alias("n_canonical"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )

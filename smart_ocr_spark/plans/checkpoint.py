@@ -285,6 +285,7 @@ def run_with_checkpoint(
     n_buckets: int = 32,
     max_buckets_this_run: int | None = None,
     dry_run: bool = False,
+    embed_figures: bool = False,
 ) -> dict:
     """Extract every not-yet-committed bucket; commit results + lineage
     per run. Returns run metrics.
@@ -307,7 +308,8 @@ def run_with_checkpoint(
     lock = None if dry_run else _acquire_lock(out_dir)
     try:
         return _run_locked(
-            spark, documents, out_dir, n_buckets, max_buckets_this_run, dry_run
+            spark, documents, out_dir, n_buckets, max_buckets_this_run,
+            dry_run, embed_figures,
         )
     finally:
         if lock is not None:
@@ -321,6 +323,7 @@ def _run_locked(
     n_buckets: int,
     max_buckets_this_run: int | None,
     dry_run: bool,
+    embed_figures: bool = False,
 ) -> dict:
     fps = bucket_fingerprints(documents, n_buckets)
     done = completed_buckets(spark, out_dir)
@@ -362,7 +365,8 @@ def _run_locked(
     subset = with_bucket(documents, n_buckets).where(F.col(BUCKET_COL).isin(todo_ids))
 
     results = extract_pipeline.run_extraction(
-        spark, subset.drop(BUCKET_COL), repartition=True
+        spark, subset.drop(BUCKET_COL), repartition=True,
+        embed_figures=embed_figures,
     )
     out = extract_pipeline.results_for_write(results)
     # persist: the write AND the metrics rollup both consume this frame;

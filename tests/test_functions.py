@@ -591,3 +591,38 @@ def test_repetition_filters(spark):
     for d in (4, 5):
         assert not out[d]["repetitive"]
         assert out[d]["top_2gram_char_frac"] == 0.0
+
+
+def test_url_canonicalization(spark):
+    """Web-pipeline URL dedup tier: the canonical form collapses case,
+    default ports, trailing slashes, tracking params, param order, and
+    fragments — and nothing else."""
+    from smart_ocr_spark.functions import urls
+
+    rows = [
+        (0, "https://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag"),
+        (1, "https://www.example.com/a/b?a=2&z=1"),          # same as 0
+        (2, "http://www.example.com:8080/a/b?a=2&z=1"),      # real port kept
+        (3, "http://host.net:80/only/utm?utm_campaign=c"),   # q drops away
+        (4, "not a url at all"),                             # fallback
+        (5, "HTTPS://other.ORG"),                            # bare host
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r for r in urls.with_canonical_url(df).collect()}
+    assert out[0]["canonical_url"] == "https://www.example.com/a/b?a=2&z=1"
+    assert out[0]["canonical_url"] == out[1]["canonical_url"]
+    assert out[2]["canonical_url"] == "http://www.example.com:8080/a/b?a=2&z=1"
+    assert out[3]["canonical_url"] == "http://host.net/only/utm"
+    assert out[4]["canonical_url"] == "not a url at all"
+    assert out[4]["host"] == ""
+    assert out[5]["canonical_url"] == "https://other.org"
+    assert out[0]["host"] == "www.example.com"
+
+    keep = {r["doc_id"]: r for r in urls.url_dedup_keep_list(df).collect()}
+    assert keep[0]["kept"] and not keep[1]["kept"]  # min id wins
+    assert keep[2]["kept"]
+
+    stats = {r["host"]: r for r in urls.host_stats(df).collect()}
+    assert stats["www.example.com"]["n_docs"] == 3
+    assert stats["www.example.com"]["n_canonical"] == 2
+    assert stats["www.example.com"]["n_kept"] == 2

@@ -211,3 +211,10 @@ def test_repetition_stays_jvm_side(spark):
     assert scans and all(
         "html" not in s and "lang" not in s for s in scans
     ), scans
+
+
+def test_url_canonicalization_stays_jvm_side(spark):
+    """URL canonicalization is a regexp/array projection + one window
+    keyed by canonical_url — no Python evaluation anywhere."""
+    plan = plan_of(em.q_url_canonical_dedup(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
