@@ -2346,7 +2346,9 @@ parts AS (SELECT doc_id,
   regexp_replace(
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
     '/+$', '') AS path,
-  regexp_extract(url, '\\?([^#]*)', 1) AS query
+  -- fragment stripped BEFORE query extraction: '#/route?x=1' carries
+  -- no query (mirrors functions/urls.canonical_url_col)
+  regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS query
   FROM u),
 parts2 AS (SELECT doc_id, proto,
   regexp_replace(hostport, ':[0-9]+$', '') AS host,

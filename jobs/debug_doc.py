@@ -154,6 +154,9 @@ def main() -> int:
         has_images=parsed["has_figures"],
         has_tables=parsed["has_tables"],
         has_equations=parsed["has_equations"],
+        # parity with the distributed path: the layout rendering (table
+        # aware for ruled pages) is the born-digital native output
+        structured_text=parsed["layout_text"],
     )
     orchestrate.phase_analyze(
         doc,

@@ -132,6 +132,23 @@ def _build_options(
     }
     if config_path:
         cfg = load_yaml_config(config_path)
+        # same policy as the --consensus-llm flag: capabilities that
+        # need a backend absent here fail loudly, never degrade silently
+        if cfg.get("consensus_use_llm") or cfg.get("consensus_ollama_model"):
+            raise click.ClickException(
+                "config requests LLM consensus (consensus_use_llm / "
+                "consensus_ollama_model), which needs an Ollama backend "
+                "not available in this environment; remove the keys to "
+                "use deterministic consensus"
+            )
+        if cfg.get("tiered") or "local_engine" in cfg:
+            click.echo(
+                "warning: tiered/local_engine routing is a multi-backend "
+                "feature; the in-process single-doc harness runs every "
+                "variant locally, so these keys have no effect here "
+                "(the distributed pipeline routes difficulty natively)",
+                err=True,
+            )
         if "primary_engine" in cfg or "fallback_chain" in cfg:
             chain = [to_variant(cfg.get("primary_engine", "auto"))]
             for e in cfg.get("fallback_chain", []):
@@ -150,11 +167,17 @@ def _build_options(
             opts["multi_engine"] = [to_variant(e) for e in cfg["multi_engine"]]
         if "output_dir" in cfg and not output_dir:
             opts["output_dir"] = Path(cfg["output_dir"])
-    if primary or fallback:
-        chain = [to_variant(primary or "auto")]
+    if primary:
+        chain = [to_variant(primary)]
         if fallback and to_variant(fallback) not in chain:
             chain.append(to_variant(fallback))
         opts["chain"] = chain
+    elif fallback:
+        # --fallback alone EXTENDS the configured (or default) chain —
+        # it must not silently reset the primary engine to auto
+        base = opts["chain"] or [to_variant("auto")]
+        fb = to_variant(fallback)
+        opts["chain"] = base + ([fb] if fb not in base else [])
     if no_audit:
         opts["audit_enabled"] = False
     if no_native_first:
@@ -190,6 +213,10 @@ def _process_one(path: Path, opts: dict) -> dict:
         has_images=parsed["has_figures"],
         has_tables=parsed["has_tables"],
         has_equations=parsed["has_equations"],
+        # the table-aware layout rendering is the born-digital native
+        # output (parity with the distributed path, which sets
+        # native_text = layout_text — operators/extract.py)
+        structured_text=parsed["layout_text"],
     )
     orchestrate.phase_analyze(
         doc,

@@ -386,6 +386,10 @@ def simhash_near_pairs(
 
     if bucket_cap is None:
         bucket_cap = BUCKET_FANIN_CAP
+    # NOTE: like the LSH paths, the persisted frames below live for the
+    # session (Spark offers no unpersist-after-materialization hook for
+    # a returned lazy frame); callers doing many independent sweeps can
+    # reclaim executor cache with spark.catalog.clearCache().
     hashed = with_simhash64(df, text_col).select(id_col, "simhash64").persist()
     chunks = None
     for c in range(4):

@@ -161,8 +161,13 @@ def cosine_topk(
         ids, nmat, nnorm = b_nbr.value
         # pre-normalized neighbor matrix: the batched form divides each
         # SIDE by its norms (O(n*dim)) instead of materializing the
-        # (batch x n) outer-product divisor — same floats to the last
-        # ulp, none of the allocation
+        # (batch x n) outer-product divisor.  NOTE: this changes the FP
+        # rounding sequence vs the per-row dgemv form — results can
+        # differ in the last ulp, which could in principle flip a rank
+        # between two neighbors whose true cosines are within ~1e-16.
+        # The 4-decimal output rounding plus the id tie-break make this
+        # observable only on adversarially-constructed exact ties; all
+        # oracles re-validated after the change.
         nmat_n_t = (nmat / nnorm[:, None]).T
         for pdf in batches:
             out_q, out_r, out_n, out_c = [], [], [], []

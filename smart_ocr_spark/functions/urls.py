@@ -51,7 +51,11 @@ def canonical_url_col(url: Column) -> Column:
     path = F.regexp_replace(
         F.regexp_extract(url, _PATH_RE, 1), r"/+$", ""
     )
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE extracting the query: a '?' inside a
+    # fragment (SPA hash-routing, '#/route?x=1') is not a query and
+    # must not leak into the canonical form
+    pre_fragment = F.regexp_replace(url, r"#.*$", "")
+    query = F.regexp_extract(pre_fragment, r"\?(.*)$", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),

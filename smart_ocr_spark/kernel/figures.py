@@ -349,8 +349,10 @@ def figure_block(fig: dict) -> str:
 def embed_figure_blocks(text: str, figures: list[dict]) -> str:
     """Metadata-level embed: stub-captioned blocks appended per the
     reference rule, only when the doc has text (orchestrator.py:1272)
-    and figures exist."""
-    if not figures or not text.strip():
+    and figures exist.  The has-text gate is pinned to the ASCII
+    whitespace class like the rstrip — Python's Unicode-aware strip()
+    would diverge from the JVM mirror on e.g. NBSP-only text."""
+    if not figures or not text.strip(" \t\n\x0b\f\r"):
         return text
     return append_figure_blocks(
         text, "\n\n".join(figure_block(f) for f in figures)

@@ -123,7 +123,10 @@ def _acquire_lock(out_dir: str) -> str:
         recycling, and a SIGKILLed owner's flock vanishes with it;
       * stealing happens under that same flock with an inode check, so
         of two stealers racing for one dead lock exactly one unlinks it
-        (the other sees a fresh inode and re-evaluates the new owner).
+        — the other either retries into the fresh inode and re-evaluates
+        the new owner, or (if it lost the momentary probe-flock race)
+        sleeps briefly and retries instead of failing; only an owner
+        that holds the flock through every retry is reported live.
 
     Foreign/legacy lock files (no flock held) fall back to the
     (pid, /proc starttime) identity.  Holds on a local/POSIX shared FS;
@@ -152,7 +155,14 @@ def _acquire_lock(out_dir: str) -> str:
             os.unlink(tmp)
         if linked:
             lfd = os.open(path, os.O_RDONLY)
-            fcntl.flock(lfd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # fresh file: ours
+            # BLOCKING flock: a prober may transiently hold the flock on
+            # our fresh inode for the instant of its read — a
+            # non-blocking attempt here would raise and strand the lock
+            # file with our live pid in it, wedging the directory.
+            # Probe flocks are held for microseconds, so the wait is
+            # bounded; nobody else can hold it longer (the file was
+            # created by OUR link).
+            fcntl.flock(lfd, fcntl.LOCK_EX)
             _LOCK_FDS[path] = lfd
             return path
         # lock exists: probe the owner
@@ -164,10 +174,14 @@ def _acquire_lock(out_dir: str) -> str:
             try:
                 fcntl.flock(lfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except OSError:
-                raise ConcurrentRunError(
-                    f"checkpoint dir {out_dir} is locked by a live run "
-                    "(flock held)"
-                )
+                # EITHER a live run (holds the flock for its duration)
+                # OR another prober mid-steal (holds it for an
+                # instant).  Indistinguishable at this moment — retry
+                # the loop instead of failing a recoverable steal race;
+                # a genuinely live owner keeps failing every attempt
+                # and the loop exit raises.
+                time.sleep(0.05)
+                continue
             # flock acquired ⇒ no live flock-holding owner.  Foreign or
             # legacy lock file — judge liveness by its pid record, read
             # through the flocked fd (not the path, which may be newer).
@@ -185,8 +199,11 @@ def _acquire_lock(out_dir: str) -> str:
             except FileNotFoundError:
                 pass
         finally:
-            os.close(lfd)  # releases the probe flock
-    raise ConcurrentRunError(f"could not acquire lock in {out_dir}")
+            os.close(lfd)  # releases the probe flock (if held)
+    raise ConcurrentRunError(
+        f"could not acquire lock in {out_dir} (another run held the "
+        "flock through every retry — most likely live)"
+    )
 
 
 def _release_lock(path: str) -> None:

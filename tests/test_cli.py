@@ -155,3 +155,53 @@ def test_process_recovers_scanned_pdf(runner, tmp_path):
     assert "status: success" in r.output
     md = (out / "scan" / "scan.md").read_text()
     assert md == texts[0]
+
+
+def test_process_ruled_table_uses_structured_native(runner, tmp_path):
+    """Review fix: a ruled-table PDF through the CLI must emit the P14
+    markdown table (structured native output), matching the pipeline
+    and the reference born_digital.py:369-372 — not the plain line
+    dump."""
+    body = ("every column here lists one measured value " * 3).strip()
+    ops = []
+    for y in (500, 540, 580, 620):
+        ops.append(f"100 {y} m 460 {y} l S")
+    for x in (100, 220, 340, 460):
+        ops.append(f"{x} 500 m {x} 620 l S")
+    placements = [(72.0, 700.0, body)]
+    for ri, y in enumerate((595.0, 555.0, 515.0)):
+        for ci, x in enumerate((105.0, 225.0, 345.0)):
+            placements.append((x, y, f"cell{ri}{ci}"))
+    src = tmp_path / "table.pdf"
+    src.write_bytes(build_pdf([placements], raw_page_prefix=[" ".join(ops)]))
+    out = tmp_path / "out"
+    r = runner.invoke(C.process, [str(src), "-o", str(out), "-q"])
+    assert r.exit_code == 0, r.output
+    md = (out / "table" / "table.md").read_text()
+    assert "| cell00 | cell01 | cell02 |" in md
+    assert "| --- | --- | --- |" in md
+
+
+def test_fallback_alone_extends_config_chain(tmp_path):
+    """Review fix: --fallback without --primary extends the configured
+    chain instead of silently resetting the primary to auto."""
+    import yaml
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(yaml.dump({"primary_engine": "glm"}))
+    opts = C._build_options(config_path=cfg, fallback="nougat")
+    assert opts["chain"] == ["density", "basic"]
+    # without a config: default-primary + fallback
+    opts2 = C._build_options(fallback="nougat")
+    assert opts2["chain"] == ["layout", "basic"]
+
+
+def test_yaml_llm_consensus_rejected(tmp_path):
+    """Review fix: YAML-requested LLM consensus fails loudly, same as
+    the --consensus-llm flag (no silent degradation)."""
+    import yaml
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(yaml.dump({"consensus_ollama_model": "qwen3.5:4b"}))
+    with pytest.raises(Exception):
+        C._build_options(config_path=cfg)

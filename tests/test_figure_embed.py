@@ -62,6 +62,9 @@ def test_jvm_mirror_matches_kernel(spark):
         ),
         ("", [_fig(1, 1, "drawing", 0.0, 0.0, 100.0, 100.0)]),
         (" \n\t", [_fig(1, 1, "drawing", 0.0, 0.0, 100.0, 100.0)]),
+        # NBSP is NOT ASCII whitespace: both engines must treat this as
+        # has-text (the gate is pinned to the ASCII class)
+        ("\u00a0", [_fig(1, 1, "drawing", 0.0, 0.0, 100.0, 100.0)]),
         ("No figures here.", []),
     ]
     rows = [

@@ -606,6 +606,8 @@ def test_url_canonicalization(spark):
         (3, "http://host.net:80/only/utm?utm_campaign=c"),   # q drops away
         (4, "not a url at all"),                             # fallback
         (5, "HTTPS://other.ORG"),                            # bare host
+        (6, "http://a.com/page#/route?x=1"),  # '?' inside the fragment
+        (7, "http://a.com/page"),             # same after fragment drop
     ]
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     out = {r["doc_id"]: r for r in urls.with_canonical_url(df).collect()}
@@ -617,6 +619,9 @@ def test_url_canonicalization(spark):
     assert out[4]["host"] == ""
     assert out[5]["canonical_url"] == "https://other.org"
     assert out[0]["host"] == "www.example.com"
+    # a '?' inside a fragment is NOT a query: both collapse
+    assert out[6]["canonical_url"] == "http://a.com/page"
+    assert out[6]["canonical_url"] == out[7]["canonical_url"]
 
     keep = {r["doc_id"]: r for r in urls.url_dedup_keep_list(df).collect()}
     assert keep[0]["kept"] and not keep[1]["kept"]  # min id wins
