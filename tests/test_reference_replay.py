@@ -214,6 +214,14 @@ class PageOutput:
     def word_count(self) -> int:
         return len(self.text.split()) if self.text else 0
 
+    def needs_reprocessing(self) -> bool:
+        # reference result.py:91-94, policy in kernel.state
+        from smart_ocr_spark.kernel import state as _kstate
+
+        return _kstate.page_needs_reprocessing(
+            self.status == PageStatus.ERROR, self.audit_passed
+        )
+
 
 @dataclass
 class EngineResult:
@@ -340,9 +348,7 @@ def test_reference_audit_heuristics_matrix_passes_verbatim():
         },
     )
     assert not failures, failures
-    # 2 of 3 run (the third is PageOutput.needs_reprocessing state logic,
-    # which our PageOutput shim deliberately does not provide)
-    assert passed >= 2, f"only {passed} ran ({skipped})"
+    assert passed >= 3, f"only {passed} ran ({skipped})"
 
 
 # ---------------------------------------------------------------------------
@@ -992,6 +998,28 @@ def test_reference_born_digital_matrix_passes_verbatim():
     pil_mod.Image = _FakeImage
     had_pil = "PIL" in _sys.modules
     _sys.modules.setdefault("PIL", pil_mod)
+
+    # `from socr.core.document import DocumentHandle` executes inside
+    # test_document_handle_detect's body: the fake module's handle is
+    # our PDF kernel + the detector shim above
+    class _DocHandle:
+        def __init__(self, path):
+            self.path = Path(path)
+            self.page_count = len(PdfDocument(self.path.read_bytes()).pages())
+
+        @classmethod
+        def from_path(cls, path):
+            return cls(path)
+
+        def detect_born_digital(self):
+            return BornDigitalDetector().detect(self.path)
+
+    created_socr = []
+    for name in ("socr", "socr.core", "socr.core.document"):
+        if name not in _sys.modules:
+            _sys.modules[name] = _types.ModuleType(name)
+            created_socr.append(name)
+    _sys.modules["socr.core.document"].DocumentHandle = _DocHandle
     try:
         passed, failures, skipped = _replay(
             _ref("test_born_digital.py"),
@@ -1009,8 +1037,10 @@ def test_reference_born_digital_matrix_passes_verbatim():
     finally:
         if not had_pil:
             _sys.modules.pop("PIL", None)
+        for name in created_socr:
+            _sys.modules.pop(name, None)
     assert not failures, failures
-    assert passed >= 44, f"only {passed} ran ({skipped})"
+    assert passed >= 45, f"only {passed} ran ({skipped})"
 
 
 # ---------------------------------------------------------------------------
