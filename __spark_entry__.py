@@ -638,6 +638,20 @@ def _planted_url_col():
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation end product: quality floor → Gopher
+    repetition filter → exact-content dedup, reported as stage-survival
+    counts (the no-silent-caps rollup for the funnel a training-data
+    pipeline actually ships)."""
+    from smart_ocr_spark.functions import curation
+
+    _ship(spark)
+    fun = curation.curation_funnel(
+        _t(spark, sf_dir, "documents"), langs=["en", "de", "es"]
+    )
+    return curation.funnel_report(fun)
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + first-id-wins dedup (the cheapest
     web-corpus dedup tier, run before any content pass): each doc gets
@@ -1288,6 +1302,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     difference."""
     return {
         "text_repetition": q_text_repetition,
+        "curation_funnel": q_curation_funnel,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
     }
@@ -2370,15 +2385,9 @@ canon AS (SELECT doc_id, host,
 """
 
 
-def extra_oracle_sql() -> dict[str, str]:
-    """Oracles for extra_queries() — same DuckDB dialect and compare as
-    oracle_sql(), verified by pytest/validate_oracles instead of the
-    capped driver run."""
-    return {
-        # Gopher repetition rules: duplicate lines/paragraphs (count +
-        # char share of repeated occurrences) and the deterministic
-        # top-2-gram character share (ties toward the smallest gram)
-        "text_repetition": """
+# Shared CTE prefix for the Gopher repetition metrics (consumed by the
+# text_repetition oracle and recombined inside curation_funnel).
+_REPETITION_CTES = """
 WITH lines AS (
   SELECT doc_id, u, length(u) AS len FROM (
     SELECT doc_id, unnest(string_split(text, chr(10))) AS u
@@ -2422,8 +2431,8 @@ top AS (SELECT doc_id,
     CASE WHEN ns > 0
       THEN round(k * length(replace(gram, ' ', '')) / CAST(ns AS DOUBLE), 4)
       ELSE 0.0 END AS top_2gram_char_frac
-  FROM ranked WHERE rn = 1)
-SELECT d.doc_id,
+  FROM ranked WHERE rn = 1),
+repm AS (SELECT d.doc_id,
   round(coalesce(l.dup_line_frac, 0.0), 4) AS dup_line_frac,
   round(coalesce(l.dup_line_char_frac, 0.0), 4) AS dup_line_char_frac,
   round(coalesce(p.dup_para_frac, 0.0), 4) AS dup_para_frac,
@@ -2435,7 +2444,72 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN lstat l ON l.doc_id = d.doc_id
 LEFT JOIN pstat p ON p.doc_id = d.doc_id
-LEFT JOIN top g ON g.doc_id = d.doc_id
+LEFT JOIN top g ON g.doc_id = d.doc_id)
+"""
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for extra_queries() — same DuckDB dialect and compare as
+    oracle_sql(), verified by pytest/validate_oracles instead of the
+    capped driver run."""
+    return {
+        # Gopher repetition rules: duplicate lines/paragraphs (count +
+        # char share of repeated occurrences) and the deterministic
+        # top-2-gram character share (ties toward the smallest gram)
+        "text_repetition": _REPETITION_CTES + """
+SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+       dup_para_char_frac, top_2gram_char_frac, repetitive
+FROM repm
+""",
+        # the full curation funnel: quality floor + Gopher repetition
+        # + exact-content dedup, reported as stage-survival counts
+        "curation_funnel": _REPETITION_CTES + f"""
+, qm AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks,
+    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+qg AS (SELECT doc_id, lang, text, toks, n_chars,
+  CASE WHEN n_chars > 0 THEN
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r.,;:!?''"()-]', '', 'g'))
+      AS DOUBLE) / n_chars ELSE 1.0 END AS garbage,
+  CASE WHEN n_chars > 0 THEN
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / n_chars
+    ELSE 0.0 END AS punct,
+  len(regexp_extract_all(lower(text), '\\bthe\\b'))
+  + len(regexp_extract_all(lower(text), '\\ba\\b'))
+  + len(regexp_extract_all(lower(text), '\\ban\\b'))
+  + len(regexp_extract_all(lower(text), '\\bof\\b'))
+  + len(regexp_extract_all(lower(text), '\\bto\\b'))
+  + len(regexp_extract_all(lower(text), '\\band\\b'))
+  + len(regexp_extract_all(lower(text), '\\bin\\b'))
+  + len(regexp_extract_all(lower(text), '\\bis\\b'))
+  + len(regexp_extract_all(lower(text), '\\bit\\b')) AS stop_hits
+  FROM qm),
+qs AS (SELECT doc_id, lang, text,
+    CAST(len(toks) AS BIGINT) AS token_count,
+    round(
+      0.4 * least(len(toks) / 100.0, 1.0)
+      + 0.3 * (1.0 - least(garbage * 5, 1.0))
+      + 0.2 * least(CASE WHEN len(toks) > 0
+                      THEN stop_hits / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END * 4, 1.0)
+      + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS quality_score
+  FROM qg),
+flags AS (SELECT q.doc_id,
+    (q.quality_score >= 0.45 AND q.token_count >= 20
+     AND q.lang IN ('en', 'de', 'es')) AS quality_ok,
+    NOT r.repetitive AS repetition_ok,
+    q.doc_id = min(q.doc_id) OVER (PARTITION BY q.text)
+      AS content_canonical
+  FROM qs q JOIN repm r ON r.doc_id = q.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality_ok,
+  CAST(sum(CASE WHEN repetition_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_repetition_ok,
+  CAST(sum(CASE WHEN content_canonical THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_content_canonical,
+  CAST(sum(CASE WHEN quality_ok AND repetition_ok AND content_canonical
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM flags
 """,
         # the planted-URL build + an independent regexp canonicalization
         # chain (lowercase scheme/host, default-port strip, fragment

@@ -60,3 +60,69 @@ def quality_keep_list(
             min_quality, min_tokens, langs,
         )
     return kept
+
+
+def curation_funnel(
+    df: DataFrame,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    langs: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full curation funnel as per-doc stage booleans: quality floor
+    → Gopher repetition filter → exact-content dedup (first-id-wins on
+    md5(text)) → final keep (the AND of all stages).
+
+    This is the end product a training-data pipeline actually ships —
+    not one filter but the composed keep decision, with every stage's
+    verdict kept so the drop REASONS are queryable (the funnel report is
+    a groupBy away, never silent).  Stages run as: one map-only scoring
+    scan + the repetition unit-shuffles + one md5-keyed window — no
+    payload ever shuffles (text participates only via hashes and
+    per-unit rows)."""
+    from pyspark.sql import Window
+
+    from smart_ocr_spark.functions.repetition import with_repetition_metrics
+
+    scored = with_quality_score(with_token_stats(df, text_col), text_col)
+    quality_ok = (F.col("quality_score") >= min_quality) & (
+        F.col("token_count") >= min_tokens
+    )
+    if langs is not None:
+        quality_ok = quality_ok & F.col("lang").isin(list(langs))
+    base = scored.select(
+        id_col, "lang", "token_count", "quality_score",
+        quality_ok.alias("quality_ok"),
+        F.md5(F.col(text_col)).alias("__md5"),
+    )
+    rep = with_repetition_metrics(df, id_col=id_col, text_col=text_col).select(
+        id_col, (~F.col("repetitive")).alias("repetition_ok")
+    )
+    w = Window.partitionBy("__md5")
+    return (
+        base.join(rep, id_col)
+        .withColumn(
+            "content_canonical", F.col(id_col) == F.min(id_col).over(w)
+        )
+        .withColumn(
+            "keep",
+            F.col("quality_ok") & F.col("repetition_ok")
+            & F.col("content_canonical"),
+        )
+        .drop("__md5")
+    )
+
+
+def funnel_report(funnel: DataFrame) -> DataFrame:
+    """Stage-survival counts over a :func:`curation_funnel` frame —
+    the no-silent-caps rollup for the composed filter."""
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("quality_ok").cast("long")).alias("n_quality_ok"),
+        F.sum(F.col("repetition_ok").cast("long")).alias("n_repetition_ok"),
+        F.sum(F.col("content_canonical").cast("long")).alias(
+            "n_content_canonical"
+        ),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )

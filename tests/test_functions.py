@@ -631,3 +631,88 @@ def test_url_canonicalization(spark):
     assert stats["www.example.com"]["n_docs"] == 3
     assert stats["www.example.com"]["n_canonical"] == 2
     assert stats["www.example.com"]["n_kept"] == 2
+
+
+def test_url_canonicalization_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form must
+    be a fixed point, over adversarial URL-ish strings and seeded random
+    junk — a drift here means dedup keys depend on how many times a
+    pipeline stage normalized them."""
+    import random
+
+    from smart_ocr_spark.functions import urls
+
+    adversarial = [
+        "https://A.B:443/",
+        "http://a.b:80",
+        "https://x.y:8443/p//",
+        "http://h/p?utm_source=a&utm_medium=b",
+        "http://h/p?z=1&a=2&m=3#frag?fake=q",
+        "http://h/#frag",
+        "http://h/?",
+        "http://h/??double=q",
+        "ftp://files.example.com:21/a",
+        "HTTP://UPPER.HOST/MiXeD/CaSe",
+        "scheme+x.y://host/",
+        "//protocol-relative.example/x",
+        "http://h:00080/x",  # weird port form: kept verbatim (not 80)
+        "",
+        "?just=a&query",
+        "#just-fragment",
+        "http://h/p?a=1&a=1&a=0",  # duplicate params survive, sorted
+    ]
+    rng = random.Random(7)
+    alphabet = "abXY09:/?#&=._-%~ "
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(adversarial + fuzz)], ["doc_id", "url"]
+    )
+    from pyspark.sql import functions as F
+
+    once = df.select(
+        "doc_id", urls.canonical_url_col(F.col("url")).alias("c1")
+    )
+    twice = once.select(
+        "doc_id", "c1", urls.canonical_url_col(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
+
+
+def test_curation_funnel_composition(spark):
+    """The funnel keeps exactly the docs passing EVERY stage, and the
+    per-stage booleans expose the drop reason."""
+    from smart_ocr_spark.functions import curation
+
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the river bank where it is seen again by the watcher today "
+            "with a calm and steady view of the whole scene in the sun")
+    rows = [
+        (0, good, "en"),                          # passes everything
+        (1, good, "en"),                          # exact dup of 0
+        (2, "tiny", "en"),                        # fails quality floor
+        (3, "the line repeats\n" * 12 + good, "en"),  # repetitive
+        (4, good + " but different tail words", "fr"),  # lang filtered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    fun = {
+        r["doc_id"]: r
+        for r in curation.curation_funnel(df, langs=["en", "de", "es"])
+        .collect()
+    }
+    assert fun[0]["keep"]
+    assert not fun[1]["keep"] and not fun[1]["content_canonical"]
+    assert fun[1]["quality_ok"]  # dropped ONLY for duplication
+    assert not fun[2]["quality_ok"]
+    assert not fun[3]["repetition_ok"]
+    assert not fun[4]["quality_ok"]  # lang allowlist folds into quality
+
+    rep = curation.funnel_report(
+        curation.curation_funnel(df, langs=["en", "de", "es"])
+    ).first()
+    assert rep["n_total"] == 5
+    assert rep["n_keep"] == 1
+    assert rep["n_content_canonical"] == 4  # one dup collapsed
