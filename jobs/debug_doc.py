@@ -78,10 +78,13 @@ class VariantEngine:
 
 
 class VariantRouter:
-    """kernel.repair over the kernel variant tables."""
+    """kernel.repair over the kernel variant tables.  ``scanned`` routes
+    image-only docs to the raster tier, mirroring the pipeline's
+    scanned_py rule (operators/extract.py) and the compat CLI."""
 
-    def __init__(self, chain):
+    def __init__(self, chain, scanned: bool = False):
         self._chain = chain
+        self._scanned = scanned
 
     def plan_repairs_doc(self, doc):
         from types import SimpleNamespace
@@ -102,7 +105,7 @@ class VariantRouter:
             )
             tried = {a["engine"] for a in ps["attempts"]}
             picked = repair.select_repair_variant(
-                failure, tried, chain=self._chain
+                failure, tried, chain=self._chain, scanned=self._scanned
             )
             if picked is None:
                 skipped.append(page_num)
@@ -188,9 +191,20 @@ def main() -> int:
         multi_engine=[],
     )
     engines = {v: VariantEngine(v, payload) for v in chain}
-    get_engine = lambda v: engines[str(v)]  # noqa: E731
+
+    def get_engine(v):
+        # on-demand so off-chain tiers (raster for scanned docs) resolve
+        v = str(v)
+        if v not in engines:
+            engines[v] = VariantEngine(v, payload)
+        return engines[v]
     scorer = KernelScorer()
-    router = VariantRouter(chain)
+    scanned_doc = bool(
+        parsed.get("is_pdf")
+        and (parsed.get("n_images") or 0) > 0
+        and (parsed.get("total_chars") or 0) == 0
+    )
+    router = VariantRouter(chain, scanned=scanned_doc)
 
     backbone = orchestrate.phase_backbone(
         doc, config, get_engine, scorer, dict, dict

@@ -276,15 +276,6 @@ def _process_one(path: Path, opts: dict) -> dict:
                 for pn in page_nums
             ]
 
-        def process_document(self, pdf_path, config):
-            pages = self.process_pages(pdf_path, [1], config)
-            return {
-                "document_path": str(pdf_path), "engine": self.name,
-                "status": pages[0]["status"], "pages": pages,
-                "pages_processed": 1, "processing_time": 0.0, "cost": 0.0,
-                "audit_passed": True,
-            }
-
     engines: dict = {}
 
     def get_engine(v):
@@ -305,11 +296,13 @@ def _process_one(path: Path, opts: dict) -> dict:
             return _Scoring(audit.check(text, expected_pages=expected_pages))
 
     # image-only PDF with no text layer: route repair to the raster
-    # tier (same rule as operators/extract.scanned_py)
+    # tier — the EXACT rule of operators/extract.scanned_py
+    # (total_chars == 0, not a whitespace strip: a whitespace-only text
+    # layer counts as content there and must here too)
     scanned_doc = bool(
         parsed.get("is_pdf")
         and (parsed.get("n_images") or 0) > 0
-        and not (parsed.get("basic_text") or "").strip()
+        and (parsed.get("total_chars") or 0) == 0
     )
 
     class _Router:

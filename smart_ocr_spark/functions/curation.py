@@ -24,6 +24,18 @@ DEFAULT_MIN_QUALITY = 0.45
 DEFAULT_MIN_TOKENS = 20
 
 
+def _quality_cond(min_quality, min_tokens, langs):
+    """The shared quality-floor predicate (over a frame already carrying
+    quality_score/token_count/lang): quality_keep_list and the funnel's
+    quality_ok stage MUST agree, so there is exactly one definition."""
+    cond = (F.col("quality_score") >= min_quality) & (
+        F.col("token_count") >= min_tokens
+    )
+    if langs is not None:
+        cond = cond & F.col("lang").isin(list(langs))
+    return cond
+
+
 def quality_keep_list(
     df: DataFrame,
     min_quality: float = DEFAULT_MIN_QUALITY,
@@ -42,12 +54,7 @@ def quality_keep_list(
     the lazy plan composes without a forced action.
     """
     scored = with_quality_score(with_token_stats(df, text_col), text_col)
-    cond = (F.col("quality_score") >= min_quality) & (
-        F.col("token_count") >= min_tokens
-    )
-    if langs is not None:
-        cond = cond & F.col("lang").isin(list(langs))
-    kept = scored.where(cond).select(
+    kept = scored.where(_quality_cond(min_quality, min_tokens, langs)).select(
         id_col, "lang", "token_count", "quality_score"
     )
     if log_drops:
@@ -86,11 +93,7 @@ def curation_funnel(
     from smart_ocr_spark.functions.repetition import with_repetition_metrics
 
     scored = with_quality_score(with_token_stats(df, text_col), text_col)
-    quality_ok = (F.col("quality_score") >= min_quality) & (
-        F.col("token_count") >= min_tokens
-    )
-    if langs is not None:
-        quality_ok = quality_ok & F.col("lang").isin(list(langs))
+    quality_ok = _quality_cond(min_quality, min_tokens, langs)
     base = scored.select(
         id_col, "lang", "token_count", "quality_score",
         quality_ok.alias("quality_ok"),

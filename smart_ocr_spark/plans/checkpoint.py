@@ -134,6 +134,13 @@ def _acquire_lock(out_dir: str) -> str:
     """
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, LOCK_FILE)
+    if path in _LOCK_FDS:
+        # same-process re-acquire (two threads sharing one driver):
+        # flock is per-open-file-description, so the races below would
+        # be undefined — refuse explicitly
+        raise ConcurrentRunError(
+            f"checkpoint dir {out_dir} is locked by THIS process"
+        )
     mine = _proc_starttime(os.getpid())
     content = (
         f"pid={os.getpid()} start={mine if mine is not None else ''} "
@@ -155,14 +162,40 @@ def _acquire_lock(out_dir: str) -> str:
             os.unlink(tmp)
         if linked:
             lfd = os.open(path, os.O_RDONLY)
-            # BLOCKING flock: a prober may transiently hold the flock on
-            # our fresh inode for the instant of its read — a
-            # non-blocking attempt here would raise and strand the lock
-            # file with our live pid in it, wedging the directory.
-            # Probe flocks are held for microseconds, so the wait is
-            # bounded; nobody else can hold it longer (the file was
-            # created by OUR link).
-            fcntl.flock(lfd, fcntl.LOCK_EX)
+            # a prober may transiently hold the flock on our fresh inode
+            # for the instant of its read — a single non-blocking
+            # attempt would raise and strand the lock file with our live
+            # pid in it, wedging the directory; an UNBOUNDED blocking
+            # wait could hang on a stalled prober.  Bounded NB retries:
+            # probe flocks last microseconds, ~1s of patience is ample.
+            got = False
+            for _ in range(100):
+                try:
+                    fcntl.flock(lfd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    got = True
+                    break
+                except OSError:
+                    time.sleep(0.01)
+            if not got:
+                os.close(lfd)
+                raise ConcurrentRunError(
+                    f"lock file in {out_dir} stayed flocked by another "
+                    "process long after creation — refusing to assume "
+                    "ownership"
+                )
+            # re-verify the path still names OUR inode: a stealer that
+            # read its own stale record could have unlinked+replaced the
+            # file during the window above — proceeding would make two
+            # owners.  Retry instead (we'll see the replacement's live
+            # flock next iteration).
+            try:
+                same = os.stat(path).st_ino == os.fstat(lfd).st_ino
+            except FileNotFoundError:
+                same = False
+            if not same:
+                os.close(lfd)
+                time.sleep(0.01)
+                continue
             _LOCK_FDS[path] = lfd
             return path
         # lock exists: probe the owner

@@ -180,3 +180,19 @@ def test_state_schema_evolution_mixed_footers(spark, tmp_path_factory):
     assert "out_rows" in st.columns and st.count() == 2
     done = cp.completed_buckets(spark, out)
     assert {r[cp.BUCKET_COL] for r in done.collect()} == {0, 1}
+
+
+def test_same_process_reacquire_refused(tmp_path_factory):
+    """Review fix: two threads of one driver must not both own the lock
+    (flock is per-open-file-description, so in-process exclusion has to
+    be explicit)."""
+    out = str(tmp_path_factory.mktemp("lock6"))
+    path = cp._acquire_lock(out)
+    try:
+        with pytest.raises(cp.ConcurrentRunError, match="THIS process"):
+            cp._acquire_lock(out)
+    finally:
+        cp._release_lock(path)
+    # released: a fresh acquire works again
+    path2 = cp._acquire_lock(out)
+    cp._release_lock(path2)
