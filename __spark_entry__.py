@@ -652,6 +652,24 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.funnel_report(fun)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
+    shared boilerplate paragraph appended — after dedup exactly ONE doc
+    (the corpus-first occurrence) keeps it, every other doc reassembles
+    without it, and the per-doc counts expose the removal."""
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nSubscribe to our newsletter for updates today"),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(docs)
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + first-id-wins dedup (the cheapest
     web-corpus dedup tier, run before any content pass): each doc gets
@@ -1303,6 +1321,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_repetition": q_text_repetition,
         "curation_funnel": q_curation_funnel,
+        "paragraph_dedup": q_paragraph_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
     }
@@ -2510,6 +2529,30 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
   CAST(sum(CASE WHEN quality_ok AND repetition_ok AND content_canonical
            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM flags
+""",
+        # ccnet paragraph dedup: first occurrence by (doc, pos) wins
+        # corpus-wide; blanks never dedup; docs reassemble in order
+        "paragraph_dedup": """
+WITH t AS (SELECT doc_id,
+  text || e'\\n\\n' || 'Subscribe to our newsletter for updates today'
+    AS text
+  FROM documents),
+p AS (SELECT doc_id,
+    unnest(string_split(text, e'\\n\\n')) AS para,
+    generate_subscripts(string_split(text, e'\\n\\n'), 1) AS pos
+  FROM t),
+flagged AS (SELECT doc_id, para, pos,
+    (length(trim(para)) = 0
+     OR row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1)
+      AS keep
+  FROM p)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN para END, e'\\n\\n'
+                      ORDER BY pos), '') AS cleaned_text,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN keep AND length(trim(para)) > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_kept
+FROM flagged GROUP BY doc_id
 """,
         # the planted-URL build + an independent regexp canonicalization
         # chain (lowercase scheme/host, default-port strip, fragment

@@ -278,6 +278,68 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide paragraph dedup (ccnet-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ccnet-style paragraph-grain dedup: every paragraph occurrence
+    except the corpus-FIRST one (ordered by (doc, position) — fully
+    deterministic on any partitioning) is removed, and each doc's text
+    is reassembled from its surviving paragraphs.
+
+    This is the main dedup grain of the Common-Crawl processing
+    pipelines (Wenzek et al. 2019, "CCNet"): boilerplate repeats
+    paragraph-for-paragraph across pages far more than whole documents
+    repeat, so paragraph dedup removes the bulk of duplicated TEXT that
+    doc-grain dedup cannot see.  Exact doc dups fall out for free (the
+    later doc loses every paragraph and reassembles to "").
+
+    Scale shape: one explode (map-side), ONE shuffle keyed by the
+    paragraph hash for the first-occurrence window, one shuffle back on
+    the doc id for reassembly — paragraphs travel as (hash, doc, pos)
+    plus the kept text, never as an all-pairs comparison.
+
+    Output: (id, cleaned_text, n_paras, n_kept).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"),
+    )
+    # blank fragments (produced by runs of separators) carry no content
+    # and must not dedup against each other across the corpus
+    is_content = F.length(F.trim(F.col("para"))) > 0
+    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    flagged = paras.withColumn(
+        "keep",
+        ~is_content | (F.row_number().over(w) == 1),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("keep") & is_content).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

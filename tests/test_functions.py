@@ -716,3 +716,29 @@ def test_curation_funnel_composition(spark):
     assert rep["n_total"] == 5
     assert rep["n_keep"] == 1
     assert rep["n_content_canonical"] == 4  # one dup collapsed
+
+
+def test_paragraph_dedup_ccnet_semantics(spark):
+    """Corpus-wide paragraph dedup: first (doc, pos) occurrence wins,
+    blanks never dedup, docs reassemble in order, exact doc dups
+    collapse to empty for free."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha unique text\n\n{boiler}\n\nomega tail"),
+        (1, f"{boiler}\n\nbravo other text"),      # loses the boiler
+        (2, "charlie standalone paragraph"),
+        (3, f"alpha unique text\n\n{boiler}\n\nomega tail"),  # exact dup of 0
+        (4, "delta\n\n\n\necho"),                  # blank fragment kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+
+    assert out[0]["cleaned_text"] == rows[0][1]    # first owner keeps all
+    assert out[0]["n_kept"] == 3
+    assert out[1]["cleaned_text"] == "bravo other text"
+    assert out[1]["n_kept"] == 1
+    assert out[2]["cleaned_text"] == rows[2][1]
+    assert out[3]["n_kept"] == 0                   # exact dup fully removed
+    assert out[3]["cleaned_text"] == ""
+    assert out[4]["cleaned_text"] == rows[4][1]    # blanks reassemble lossless
+    assert out[4]["n_paras"] == 3 and out[4]["n_kept"] == 2
