@@ -652,6 +652,18 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.funnel_report(fun)
 
 
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ccnet-analog LM quality signal: corpus-trained unigram model
+    (top-500 vocabulary so the truncation tie-break is exercised),
+    add-one smoothing, per-doc average log10 probability + OOV rate."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.unigram_lm_scores(
+        _t(spark, sf_dir, "documents"), vocab_size=500
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
     shared boilerplate paragraph appended — after dedup exactly ONE doc
@@ -1322,6 +1334,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "curation_funnel": q_curation_funnel,
         "paragraph_dedup": q_paragraph_dedup,
+        "text_unigram_lm": q_text_unigram_lm,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
     }
@@ -2529,6 +2542,30 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
   CAST(sum(CASE WHEN quality_ok AND repetition_ok AND content_canonical
            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM flags
+""",
+        # corpus-trained unigram LM: top-K vocab (count desc, tok asc),
+        # add-one smoothing over (N + V), OOV floor 1/(N+V)
+        "text_unigram_lm": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM (
+    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+    FROM cnt) WHERE rn <= 500),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n_total,
+               (SELECT count(*) FROM vocab) AS v_size),
+scored AS (SELECT t.doc_id, v.c, tot.n_total, tot.v_size
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok CROSS JOIN tot),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    round(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS oov_rate,
+    round(avg(log10((coalesce(c, 0) + 1)
+                    / CAST(n_total + v_size AS DOUBLE))), 4) + 0.0
+      AS avg_logprob
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+  coalesce(p.oov_rate, 0.0) AS oov_rate,
+  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """,
         # ccnet paragraph dedup: first occurrence by (doc, pos) wins
         # corpus-wide; blanks never dedup; docs reassemble in order

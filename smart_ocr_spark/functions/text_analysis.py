@@ -335,3 +335,69 @@ def winnow_fingerprint_udf(texts: pd.Series) -> pd.Series:
 
 def with_winnow_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("winnow_fp", winnow_fingerprint_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (ccnet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Per-doc unigram log-probability — the deterministic analog of
+    ccnet's KenLM perplexity filter (Wenzek et al. 2019: docs scoring
+    far from the reference LM are boilerplate/garbage/wrong-language).
+
+    The model is derived FROM THE CORPUS ITSELF in one aggregation (the
+    classic train-then-score shape): the ``vocab_size`` most frequent
+    tokens (ties toward the lexicographically smaller token — fully
+    deterministic) with add-one smoothing over N = corpus token count
+    and V = vocabulary size; out-of-vocabulary tokens take the floor
+    probability 1/(N+V).  Scale shape: one token aggregation for the
+    model (the vocab is broadcast-sized by construction), one broadcast
+    join to score, one doc-keyed aggregation — the corpus never joins
+    itself.
+
+    Output: (id, n_tokens, oov_rate, avg_logprob), avg_logprob in
+    log10 (more negative = less LM-like; empty docs score 0.0).
+    """
+    toks = tokens_col(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    counts = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+    totals = counts.agg(
+        F.sum("c").alias("n_total")
+    ).crossJoin(vocab.agg(F.count(F.lit(1)).alias("v_size")))
+    model = F.broadcast(vocab.crossJoin(F.broadcast(totals)))
+
+    scored = exploded.join(model, "tok", "left")
+    # all rows carry the same totals via the model join EXCEPT OOV rows
+    # (left-join misses): re-attach them once, broadcast
+    scored = scored.drop("n_total", "v_size").crossJoin(F.broadcast(totals))
+    logp = F.log10(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("v_size")).cast("double")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("c").isNull().cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("oov_rate"),
+        (F.round(F.avg(logp), 4) + F.lit(0.0)).alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("oov_rate", F.lit(0.0)).alias("oov_rate"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -742,3 +742,29 @@ def test_paragraph_dedup_ccnet_semantics(spark):
     assert out[3]["cleaned_text"] == ""
     assert out[4]["cleaned_text"] == rows[4][1]    # blanks reassemble lossless
     assert out[4]["n_paras"] == 3 and out[4]["n_kept"] == 2
+
+
+def test_unigram_lm_scores(spark):
+    """LM quality signal: common-word prose scores higher (less
+    negative) than rare-token noise; OOV rate reflects vocabulary
+    membership; empty docs score 0."""
+    common = "the data the data the data the data"
+    rows = [
+        (0, common),
+        (1, common),
+        (2, "zzqx qqzv xvqz wqxz"),  # tokens occurring once each
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ta.unigram_lm_scores(df).collect()}
+    assert out[0]["avg_logprob"] == out[1]["avg_logprob"]
+    assert out[0]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[0]["oov_rate"] == 0.0  # vocab covers everything here
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_logprob"] == 0.0
+
+    # vocabulary truncation: with vocab_size=1 only the most frequent
+    # token ('data' and 'the' tie at 8 each -> 'data' wins the asc
+    # tie-break) stays in-vocab
+    out1 = {r["doc_id"]: r for r in ta.unigram_lm_scores(
+        df, vocab_size=1).collect()}
+    assert out1[0]["oov_rate"] == 0.5  # 'the' is now OOV
