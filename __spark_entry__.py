@@ -652,6 +652,20 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.funnel_report(fun)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: the k-means assignment the
+    kmeans oracle already derives, within-cluster exact cosine pairs,
+    recursive components, min-id keep — the oracle composes the SAME
+    Lloyd CTEs with an N^2-within-cluster pair graph and a recursive
+    reachability fixpoint."""
+    from smart_ocr_spark.functions import similarity
+
+    _ship(spark)
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.95
+    )
+
+
 def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-analog LM quality signal: corpus-trained unigram model
     (top-500 vocabulary so the truncation tie-break is exercised),
@@ -1335,6 +1349,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "paragraph_dedup": q_paragraph_dedup,
         "text_unigram_lm": q_text_unigram_lm,
+        "semantic_dedup": q_semantic_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
     }
@@ -2089,57 +2104,7 @@ FROM per p LEFT JOIN hits hi ON hi.doc_id = p.doc_id
         # update = exact floor(x*1e9) means rounded to 4 (same convention
         # as embedding_centroids).  Empty/zero clusters drop out of the
         # candidate set on both sides.
-        "kmeans_clusters": """
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
-             AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
-      FROM e),
-nn AS (SELECT * FROM n WHERE nrm > 0),
-seeds AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-           - 1 AS cl, v
-  FROM nn
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-c0 AS (SELECT cl, unnest(v) AS cv, generate_subscripts(v, 1) AS idx
-       FROM seeds),
-c0n AS (SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c0 GROUP BY cl
-        HAVING sqrt(sum(cv * cv)) > 0),
-el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS idx
-       FROM nn),
-a0dot AS (
-  SELECT el.vec_id, c0.cl, sum(el.val * c0.cv) AS dot
-  FROM el JOIN c0 ON c0.idx = el.idx
-  GROUP BY 1, 2),
-a0 AS (
-  SELECT vec_id, cl FROM (
-    SELECT a.vec_id, a.cl,
-      row_number() OVER (PARTITION BY a.vec_id
-        ORDER BY a.dot / (nn.nrm * cn.cn) DESC, a.cl ASC) AS rn
-    FROM a0dot a
-    JOIN nn ON nn.vec_id = a.vec_id
-    JOIN c0n cn ON cn.cl = a.cl)
-  WHERE rn = 1),
-c1 AS (
-  SELECT a0.cl, el.idx,
-    round(CAST(sum(CAST(floor(el.val * 1e9) AS BIGINT)) AS DOUBLE)
-          / 1e9 / count(*), 4) + 0.0 AS cv
-  FROM a0 JOIN el ON el.vec_id = a0.vec_id
-  GROUP BY a0.cl, el.idx),
-c1n AS (SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c1 GROUP BY cl
-        HAVING sqrt(sum(cv * cv)) > 0),
-a1dot AS (
-  SELECT el.vec_id, c1.cl, sum(el.val * c1.cv) AS dot
-  FROM el JOIN c1 ON c1.idx = el.idx
-  GROUP BY 1, 2),
-a1 AS (
-  SELECT vec_id, cl, cos FROM (
-    SELECT a.vec_id, a.cl, a.dot / (nn.nrm * cn.cn) AS cos,
-      row_number() OVER (PARTITION BY a.vec_id
-        ORDER BY a.dot / (nn.nrm * cn.cn) DESC, a.cl ASC) AS rn
-    FROM a1dot a
-    JOIN nn ON nn.vec_id = a.vec_id
-    JOIN c1n cn ON cn.cl = a.cl)
-  WHERE rn = 1)
+        "kmeans_clusters": "WITH " + _KMEANS_CTES + """
 SELECT vec_id, CAST(cl AS INT) AS cluster,
   round(cos, 4) + 0.0 AS cosine
 FROM a1
@@ -2373,6 +2338,63 @@ FROM c
     }
 
 
+# Shared CTE body (no WITH prefix, so callers can prepend RECURSIVE):
+# two exact-sum Lloyd rounds from md5-order seeds — the deterministic
+# k-means derivation the kmeans_clusters oracle has always used, now
+# also composed into the semantic_dedup oracle.
+_KMEANS_CTES = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e),
+nn AS (SELECT * FROM n WHERE nrm > 0),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cl, v
+  FROM nn
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+c0 AS (SELECT cl, unnest(v) AS cv, generate_subscripts(v, 1) AS idx
+       FROM seeds),
+c0n AS (SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c0 GROUP BY cl
+        HAVING sqrt(sum(cv * cv)) > 0),
+el AS (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+       FROM nn),
+a0dot AS (
+  SELECT el.vec_id, c0.cl, sum(el.val * c0.cv) AS dot
+  FROM el JOIN c0 ON c0.idx = el.idx
+  GROUP BY 1, 2),
+a0 AS (
+  SELECT vec_id, cl FROM (
+    SELECT a.vec_id, a.cl,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY a.dot / (nn.nrm * cn.cn) DESC, a.cl ASC) AS rn
+    FROM a0dot a
+    JOIN nn ON nn.vec_id = a.vec_id
+    JOIN c0n cn ON cn.cl = a.cl)
+  WHERE rn = 1),
+c1 AS (
+  SELECT a0.cl, el.idx,
+    round(CAST(sum(CAST(floor(el.val * 1e9) AS BIGINT)) AS DOUBLE)
+          / 1e9 / count(*), 4) + 0.0 AS cv
+  FROM a0 JOIN el ON el.vec_id = a0.vec_id
+  GROUP BY a0.cl, el.idx),
+c1n AS (SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c1 GROUP BY cl
+        HAVING sqrt(sum(cv * cv)) > 0),
+a1dot AS (
+  SELECT el.vec_id, c1.cl, sum(el.val * c1.cv) AS dot
+  FROM el JOIN c1 ON c1.idx = el.idx
+  GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cl, cos FROM (
+    SELECT a.vec_id, a.cl, a.dot / (nn.nrm * cn.cn) AS cos,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY a.dot / (nn.nrm * cn.cn) DESC, a.cl ASC) AS rn
+    FROM a1dot a
+    JOIN nn ON nn.vec_id = a.vec_id
+    JOIN c1n cn ON cn.cl = a.cl)
+  WHERE rn = 1)
+"""
+
 # Shared CTE prefix: plant the messy URLs (mirror of _planted_url_col)
 # and canonicalize them with DuckDB's own regexp chain.
 _URL_CANON_SQL = """
@@ -2542,6 +2564,29 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
   CAST(sum(CASE WHEN quality_ok AND repetition_ok AND content_canonical
            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM flags
+""",
+        # SemDeDup: the kmeans CTEs + within-cluster exact-cosine pairs
+        # + recursive-component min-id keep
+        "semantic_dedup": "WITH RECURSIVE " + _KMEANS_CTES + """
+, pr AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM a1 x JOIN a1 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+  JOIN nn nx ON nx.vec_id = x.vec_id
+  JOIN nn ny ON ny.vec_id = y.vec_id
+  WHERE list_dot_product(nx.v, ny.v) / (nx.nrm * ny.nrm) >= 0.95),
+edg AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pr
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pr),
+nodes AS (SELECT DISTINCT src AS id FROM edg),
+r(id, comp) AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT e2.dst AS id, r.comp FROM r JOIN edg e2 ON e2.src = r.id),
+comp AS (SELECT id, min(comp) AS component_id FROM r GROUP BY id)
+SELECT a1.vec_id, CAST(a1.cl AS INT) AS cluster,
+  coalesce(c.id = c.component_id, TRUE) AS kept
+FROM a1 LEFT JOIN comp c ON c.id = a1.vec_id
 """,
         # corpus-trained unigram LM: top-K vocab (count desc, tok asc),
         # add-one smoothing over (N + V), OOV floor 1/(N+V)

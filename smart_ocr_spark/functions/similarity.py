@@ -514,3 +514,76 @@ def lsh_topk(
             (F.round("cos", 4) + F.lit(0.0)).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = BUCKET_FANIN_CAP,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embedding space, compare pairs only WITHIN each cluster (the paper's
+    trick — the exact N^2 is bounded by cluster size, never the
+    corpus), connect the near-dup graph, keep one member (min id) per
+    semantic-duplicate component.
+
+    Composed entirely from the proven parts: deterministic exact-sum
+    k-means (``clustering.kmeans_assign``), the capped bucket self-join
+    (degenerate clusters bounded + logged like every other bucket
+    join), and min-label-propagation components.  Output: one row per
+    nonzero-norm vector — (id, cluster, kept)."""
+    from smart_ocr_spark.functions.clustering import kmeans_assign
+    from smart_ocr_spark.functions.components import connected_components
+
+    assigned = kmeans_assign(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    normed = with_norm(corpus, vec_col).select(
+        F.col(id_col), "__v", "__norm"
+    ).where(F.col("__norm") > 0)
+    clustered = (
+        normed.join(assigned, id_col)
+        .withColumnRenamed("cluster", "bucket")
+        .persist()
+    )
+    nbr, _ = _cap_bucket_fanin(
+        clustered, id_col, bucket_cap, "semantic_dedup", desc=True
+    )
+    a, b = clustered.alias("a"), nbr.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (
+                dot_col(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__norm") * F.col("b.__norm"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    return (
+        clustered.select(
+            F.col(id_col), F.col("bucket").cast("int").alias("cluster")
+        )
+        .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(
+                F.col(id_col) == F.col("component_id"), F.lit(True)
+            ).alias("kept"),
+        )
+    )

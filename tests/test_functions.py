@@ -768,3 +768,28 @@ def test_unigram_lm_scores(spark):
     out1 = {r["doc_id"]: r for r in ta.unigram_lm_scores(
         df, vocab_size=1).collect()}
     assert out1[0]["oov_rate"] == 0.5  # 'the' is now OOV
+
+
+def test_semantic_dedup_semdedup_semantics(spark, embeddings):
+    """SemDeDup composition: within each k-means cluster, near-identical
+    vectors collapse to the minimum id; distinct clusters never compare;
+    loners survive untouched."""
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        embeddings, k=5, iters=2, threshold=0.999).collect()}
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+
+    assert len(out) == 14  # every nonzero-norm vector is covered
+    # dedup happened: the tight label-clusters lose members
+    assert sum(1 for r in out.values() if not r["kept"]) >= 6
+    # the min-per-component invariant: every dropped vector has a KEPT
+    # smaller-id vector in the SAME k-means cluster (its canonical)
+    for v, r in out.items():
+        if not r["kept"]:
+            assert any(
+                o["kept"] and o["cluster"] == r["cluster"] and w < v
+                for w, o in out.items()
+            ), (v, r)
+    # the two loners are nobody's near-dup
+    for v, l in labels.items():
+        if l in (98, 99):
+            assert out[v]["kept"]
