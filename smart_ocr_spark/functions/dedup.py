@@ -54,12 +54,26 @@ def exact_dedup_groups(
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep exactly one row per distinct text (the min-id row)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Keep exactly one row per distinct text (the min-id row).
+
+    Skew-safe shape (same fix as ``paragraph_dedup`` / VERDICT r4 #1):
+    min id per text is a two-stage aggregation keyed by md5(text) —
+    map-side partials absorb a corpus-wide duplicated doc — and the
+    keeper filter is a left-semi join on (hash, id), which AQE can
+    skew-split; a window here would pin every copy of a hot text onto
+    one sorting task."""
+    keepers = (
+        df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(
+        keepers,
+        on=[
+            F.md5(F.col(text_col)) == keepers["_h"],
+            df[id_col] == keepers[id_col],
+        ],
+        how="left_semi",
     )
 
 
@@ -297,45 +311,73 @@ def paragraph_dedup(
     doc-grain dedup cannot see.  Exact doc dups fall out for free (the
     later doc loses every paragraph and reassembles to "").
 
-    Scale shape: one explode (map-side), ONE shuffle keyed by the
-    paragraph hash for the first-occurrence window, one shuffle back on
-    the doc id for reassembly — paragraphs travel as (hash, doc, pos)
-    plus the kept text, never as an all-pairs comparison.
+    Skew-safe scale shape (VERDICT r4 #1 — no window, no hot join):
+    the corpus-first occurrence per paragraph is a two-stage
+    ``min(struct(id, pos, para))`` AGGREGATION keyed by the 8-byte
+    ``xxhash64(para)``, so a corpus-wide boilerplate paragraph ("All
+    rights reserved.") combines map-side to one partial row per map
+    partition BEFORE the shuffle — the reducer for the hottest key
+    sees O(#map partitions) rows, not O(#occurrences), and the shuffle
+    key is fixed-width, never multi-KB paragraph text.  Reassembly
+    then needs only the KEEPER rows (the winning struct already
+    carries the surviving text) unioned with each doc's blank
+    fragments — the exploded occurrence stream is never joined back,
+    so there is no hot probe side for any key.  Collision note: two
+    distinct paragraphs sharing an xxhash64 value (p ~ 2^-64 per pair)
+    would merge — the same accepted trade every hash-keyed exact-dedup
+    tier makes.
 
-    Output: (id, cleaned_text, n_paras, n_kept).
+    Shuffles: one keyed by phash (partial-agg absorbed), one keyed by
+    doc id for reassembly, one doc-id join for the per-doc counts
+    (exchange reusable).  Output: (id, n_paras, n_kept, cleaned_text);
+    docs whose every paragraph lost reassemble to "".
     """
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"),
     )
     # blank fragments (produced by runs of separators) carry no content
-    # and must not dedup against each other across the corpus
+    # and must not dedup against each other across the corpus — they
+    # bypass the keeper shuffle entirely and rejoin at reassembly
     is_content = F.length(F.trim(F.col("para"))) > 0
-    w = Window.partitionBy("para").orderBy(id_col, "pos")
-    flagged = paras.withColumn(
-        "keep",
-        ~is_content | (F.row_number().over(w) == 1),
-    )
-    return (
-        flagged.groupBy(id_col)
+    # struct comparison is lexicographic on (id, pos[, para]); (id, pos)
+    # is unique per occurrence, so `para` never decides order — it rides
+    # along so reassembly needs no join back to the occurrence stream
+    keepers = (
+        paras.where(is_content)
+        .groupBy(F.xxhash64("para").alias("phash"))
         .agg(
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum((F.col("keep") & is_content).cast("long")).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("keep"),
-                                F.struct(F.col("pos"), F.col("para")),
-                            )
-                        )
-                    ),
-                    lambda s: s["para"],
-                ),
-                "\n\n",
-            ).alias("cleaned_text"),
+            F.min(
+                F.struct(F.col(id_col), F.col("pos"), F.col("para"))
+            ).alias("first")
         )
+        .select(
+            F.col("first").getField(id_col).alias(id_col),
+            F.col("first").getField("pos").alias("pos"),
+            F.col("first").getField("para").alias("para"),
+        )
+    )
+    survivors = keepers.unionByName(
+        paras.where(~is_content).select(id_col, "pos", "para")
+    )
+    assembled = survivors.groupBy(id_col).agg(
+        F.sum(is_content.cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("cleaned_text"),
+    )
+    # every input doc must appear, including docs that lost EVERY
+    # paragraph (exact-dup docs reassemble to "")
+    counts = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return counts.join(assembled, id_col, "left").select(
+        F.col(id_col),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -81,14 +81,27 @@ def url_dedup_keep_list(
     df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:
     """(id, canonical_url, host, kept): first-id-wins per canonical URL
-    — the cheapest dedup tier, run BEFORE any content pass.  One
-    shuffle keyed by canonical_url; deterministic on any partitioning
-    (min id, not first arrival)."""
-    c = with_canonical_url(df, url_col)
-    w = Window.partitionBy("canonical_url")
-    return c.select(
+    — the cheapest dedup tier, run BEFORE any content pass.
+    Deterministic on any partitioning (min id, not first arrival).
+
+    Skew-safe shape (VERDICT r4 #2 — no window): the min id per
+    canonical URL is a two-stage AGGREGATION keyed by the 8-byte
+    ``xxhash64(canonical_url)``, so a spam-mirror URL duplicated
+    across a large slice of the corpus combines map-side to one
+    partial row per map partition before its shuffle.  The per-row
+    ``kept`` flag then comes from an equi-join on the fixed-width
+    hash: unlike a window (whole key on ONE task, sort required), a
+    shuffle join's hot probe partition is AQE-skew-splittable — the
+    build side carries exactly one row per distinct URL.  Hash
+    collisions (p ~ 2^-64 per pair) would merge two URLs' keep
+    groups — the standard hash-keyed dedup trade."""
+    c = with_canonical_url(df, url_col).withColumn(
+        "_uhash", F.xxhash64("canonical_url")
+    )
+    mins = c.groupBy("_uhash").agg(F.min(id_col).alias("_first_id"))
+    return c.join(mins, "_uhash").select(
         F.col(id_col), "canonical_url", "host",
-        (F.col(id_col) == F.min(id_col).over(w)).alias("kept"),
+        (F.col(id_col) == F.col("_first_id")).alias("kept"),
     )
 
 

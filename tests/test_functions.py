@@ -744,6 +744,65 @@ def test_paragraph_dedup_ccnet_semantics(spark):
     assert out[4]["n_paras"] == 3 and out[4]["n_kept"] == 2
 
 
+def test_paragraph_dedup_corpuswide_boilerplate(spark):
+    """VERDICT r4 #1 adversarial case at paragraph grain (the
+    test_simhash_degenerate_corpus_guard pattern): a boilerplate
+    paragraph present in EVERY doc of a 10k-doc corpus — the literal
+    "All rights reserved." hot key.  The agg-based keeper must (a)
+    stay correct: exactly doc 0 keeps the boilerplate, every doc keeps
+    its unique paragraph; (b) never route the hot key through a
+    Window or a probe-side join of the exploded occurrences — pinned
+    by plan shape (no Window; the only joins are doc-id-keyed)."""
+    n = 10_000
+    boiler = "All rights reserved. Subscribe to our newsletter today."
+    rows = [(i, f"{boiler}\n\nunique paragraph body number {i}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out_df = dedup.paragraph_dedup(df)
+
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine absorbs the hot key
+
+    out = out_df.collect()
+    assert len(out) == n
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["cleaned_text"] == rows[0][1]
+    assert by_id[0]["n_kept"] == 2
+    for i in (1, 4_999, n - 1):
+        assert by_id[i]["cleaned_text"] == f"unique paragraph body number {i}"
+        assert by_id[i]["n_paras"] == 2 and by_id[i]["n_kept"] == 1
+
+
+def test_url_dedup_hot_mirror(spark):
+    """VERDICT r4 #2 adversarial case: one spam-mirror canonical URL
+    carrying half a 10k-row corpus.  Agg-keyed keeper (no Window in
+    the plan, partial_min present); exactly the min id survives the
+    hot URL and every cold URL keeps its own row."""
+    from smart_ocr_spark.functions import urls
+
+    n = 10_000
+    rows = [
+        (i,
+         "http://mirror.spam/page?utm_source=x" if i % 2
+         else f"http://ok.example/{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"]).repartition(8)
+    out_df = urls.url_dedup_keep_list(df)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+    out = out_df.collect()
+    assert len(out) == n
+    hot = [r for r in out if r["canonical_url"] == "http://mirror.spam/page"]
+    assert len(hot) == n // 2
+    assert sorted(r["doc_id"] for r in hot if r["kept"]) == [1]
+    cold_kept = sum(1 for r in out if r["kept"])
+    assert cold_kept == n // 2 + 1
+
+
 def test_unigram_lm_scores(spark):
     """LM quality signal: common-word prose scores higher (less
     negative) than rare-token noise; OOV rate reflects vocabulary
