@@ -1276,7 +1276,7 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.canonical_docs(docs.select("doc_id", "lang"), pairs)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _query_pool_core() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator families (SURVEY.md §2)
         "rollup_pricing": q_rollup_pricing,
@@ -1336,14 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Overflow beyond the driver's 50-query verification cap
-    (VERDICT r3 #3: the registry stays at exactly what the driver
-    runs).  Every entry here has an ``extra_oracle_sql()`` mirror and
-    is verified with the IDENTICAL compare by
-    tests/test_entry_contract.py and scripts/validate_oracles.py — the
-    gate is pytest-side instead of driver-side, which is the flagged
-    difference."""
+def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_repetition": q_text_repetition,
         "curation_funnel": q_curation_funnel,
@@ -1353,6 +1346,40 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
     }
+
+
+# Round-5 rotation (VERDICT r4 #2): the seven round-4 curation ops that
+# had only pytest-side verification take driver slots this round so
+# each gets a driver-recorded CORRECTNESS row; seven long-stable
+# relational primitives (every one also pinned by pytest and, where
+# applicable, reference replay) rotate to extra_queries() for the
+# round.  Rotating = editing this list — membership, not code, moves.
+_ROTATED_TO_EXTRA = (
+    "argmax_consensus",
+    "topk_attempts",
+    "union_escalation",
+    "fanout_chunk",
+    "classify_priority",
+    "json_extract_rollup",
+    "setop_untried",
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver registry — exactly 50 entries (the driver's per-round
+    verification cap; VERDICT r3 #3)."""
+    pool = {**_query_pool_core(), **_query_pool_curation()}
+    return {k: v for k, v in pool.items() if k not in _ROTATED_TO_EXTRA}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Overflow beyond the driver's 50-query verification cap.  Every
+    entry here has an ``extra_oracle_sql()`` mirror and is verified
+    with the IDENTICAL compare by tests/test_entry_contract.py and
+    scripts/validate_oracles.py — the gate is pytest-side instead of
+    driver-side, which is the flagged difference."""
+    pool = {**_query_pool_core(), **_query_pool_curation()}
+    return {k: pool[k] for k in _ROTATED_TO_EXTRA}
 
 
 # ---------------------------------------------------------------------------
@@ -1680,7 +1707,7 @@ FROM s
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_pool_core() -> dict[str, str]:
     return {
         "rollup_pricing": """
 SELECT l_returnflag, l_linestatus,
@@ -2502,10 +2529,7 @@ LEFT JOIN top g ON g.doc_id = d.doc_id)
 """
 
 
-def extra_oracle_sql() -> dict[str, str]:
-    """Oracles for extra_queries() — same DuckDB dialect and compare as
-    oracle_sql(), verified by pytest/validate_oracles instead of the
-    capped driver run."""
+def _oracle_pool_curation() -> dict[str, str]:
     return {
         # Gopher repetition rules: duplicate lines/paragraphs (count +
         # char share of repeated occurrences) and the deterministic
@@ -2654,3 +2678,19 @@ SELECT host, count(*) AS n_docs,
 FROM keep GROUP BY host
 """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Oracles for the driver's 50-entry registry — keys are the
+    queries() entries that are SQL-expressible (rows-only pipeline
+    queries are intentionally absent)."""
+    pool = {**_oracle_pool_core(), **_oracle_pool_curation()}
+    return {k: pool[k] for k in queries() if k in pool}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for extra_queries() — same DuckDB dialect and compare as
+    oracle_sql(), verified by pytest/validate_oracles instead of the
+    capped driver run."""
+    pool = {**_oracle_pool_core(), **_oracle_pool_curation()}
+    return {k: pool[k] for k in extra_queries() if k in pool}
