@@ -2609,7 +2609,8 @@ r(id, comp) AS (
   SELECT e2.dst AS id, r.comp FROM r JOIN edg e2 ON e2.src = r.id),
 comp AS (SELECT id, min(comp) AS component_id FROM r GROUP BY id)
 SELECT a1.vec_id, CAST(a1.cl AS INT) AS cluster,
-  coalesce(c.id = c.component_id, TRUE) AS kept
+  coalesce(c.id = c.component_id, TRUE) AS kept,
+  CAST(0 AS BIGINT) AS n_nbr_dropped
 FROM a1 LEFT JOIN comp c ON c.id = a1.vec_id
 """,
         # corpus-trained unigram LM: top-K vocab (count desc, tok asc),

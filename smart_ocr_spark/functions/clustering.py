@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from smart_ocr_spark.functions.cache import pin
 from pyspark.sql import DataFrame, functions as F
 
 from smart_ocr_spark.functions.similarity import with_norm
@@ -135,8 +137,8 @@ def kmeans_assign(
         with_norm(corpus, vec_col)
         .select(F.col(id_col), "__v", "__norm")
         .where(F.col("__norm") > 0)
-        .persist()
     )
+    base = pin(base)
     cmat = _seed_centroids(base, id_col, k)
     if cmat.size == 0:
         raise ValueError(

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
+from smart_ocr_spark.functions.cache import pin
+
 N_MINHASH = 8  # signature length
 N_BANDS = 2  # LSH bands (4 rows per band)
 SHINGLE_K = 3
@@ -277,8 +279,8 @@ def minhash_dedup_pairs(
     # persist: the signature pass (full-corpus Python MD5) feeds one
     # union branch per band, and the candidate frame is consumed three
     # times — without persist the kernel re-runs ~6x over the corpus.
-    sig = minhash_signatures(df, id_col, text_col).persist()
-    cands = lsh_candidate_pairs(sig, id_col).persist()
+    sig = pin(minhash_signatures(df, id_col, text_col))
+    cands = pin(lsh_candidate_pairs(sig, id_col))
     cand_ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
@@ -490,11 +492,10 @@ def simhash_near_pairs(
 
     if bucket_cap is None:
         bucket_cap = BUCKET_FANIN_CAP
-    # NOTE: like the LSH paths, the persisted frames below live for the
-    # session (Spark offers no unpersist-after-materialization hook for
-    # a returned lazy frame); callers doing many independent sweeps can
-    # reclaim executor cache with spark.catalog.clearCache().
-    hashed = with_simhash64(df, text_col).select(id_col, "simhash64").persist()
+    # NOTE: pinned frames live for the session UNLESS the caller runs
+    # inside functions.cache.cache_scope() (the multi-sweep seam);
+    # spark.catalog.clearCache() remains the blunt fallback.
+    hashed = pin(with_simhash64(df, text_col).select(id_col, "simhash64"))
     chunks = None
     for c in range(4):
         part = hashed.select(
@@ -508,7 +509,7 @@ def simhash_near_pairs(
         chunks = part if chunks is None else chunks.unionByName(part)
     # persist: the cap's bucket-size probe + both join sides consume the
     # 4-branch union — unpersisted, the simhash UDF pass would re-run
-    chunks = chunks.persist()
+    chunks = pin(chunks)
     nbr, _ = _cap_bucket_fanin(
         chunks, id_col, bucket_cap, "simhash_near_pairs", desc=True
     )
