@@ -113,19 +113,7 @@ def stream_ingestion_stats(
     corpus — the property that matters at 100 TB of backlog.
     """
     stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
-    agg = (
-        stream.withWatermark("warc_ts", watermark)
-        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("html")).alias("payload_bytes"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "lang", "n_docs", "payload_bytes",
-        )
-    )
+    agg = _ingestion_rollup(stream.withWatermark("warc_ts", watermark), window)
     return (
         agg.writeStream.outputMode("append")
         .format("parquet")
@@ -140,6 +128,38 @@ def stream_ingestion_stats(
 
 def read_ingestion_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, STATS_SUBDIR))
+
+
+def _ingestion_rollup(df: DataFrame, window: str) -> DataFrame:
+    """The one rollup definition both paths share: streamed append-mode
+    output and the bounded replay oracle aggregate THE SAME expression
+    tree, so any stream/batch divergence is a runtime-semantics bug
+    (watermark, state, replay), never a drifted query."""
+    return (
+        df.groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("html")).alias("payload_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang", "n_docs", "payload_bytes",
+        )
+    )
+
+
+def bounded_ingestion_stats(
+    df: DataFrame, window: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-batch analog of :func:`stream_ingestion_stats` — the
+    equivalence ORACLE for the streaming path (VERDICT r4 #6): on any
+    dump sequence with no late arrivals, the streamed append-mode
+    output must equal this bounded rollup restricted to the windows
+    the final watermark closed.  Pinned by
+    tests/test_streaming.py::test_stream_batch_equivalence_stats with
+    the driver-style sorted-rows compare."""
+    return _ingestion_rollup(df, window)
 
 
 # ---------------------------------------------------------------------------
