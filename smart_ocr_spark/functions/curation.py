@@ -85,11 +85,12 @@ def curation_funnel(
     not one filter but the composed keep decision, with every stage's
     verdict kept so the drop REASONS are queryable (the funnel report is
     a groupBy away, never silent).  Stages run as: one map-only scoring
-    scan + the repetition unit-shuffles + one md5-keyed window — no
-    payload ever shuffles (text participates only via hashes and
-    per-unit rows)."""
-    from pyspark.sql import Window
-
+    scan + the repetition unit-shuffles + a two-stage min aggregation
+    on md5(text) joined back (the skew-safe keeper shape from
+    functions/dedup — a corpus-wide duplicated doc partial-aggs
+    map-side and the flagging join stays AQE-skew-splittable; a window
+    here would pin every copy onto one task) — no payload ever
+    shuffles (text participates only via hashes and per-unit rows)."""
     from smart_ocr_spark.functions.repetition import with_repetition_metrics
 
     scored = with_quality_score(with_token_stats(df, text_col), text_col)
@@ -102,18 +103,19 @@ def curation_funnel(
     rep = with_repetition_metrics(df, id_col=id_col, text_col=text_col).select(
         id_col, (~F.col("repetitive")).alias("repetition_ok")
     )
-    w = Window.partitionBy("__md5")
+    mins = base.groupBy("__md5").agg(F.min(id_col).alias("__first_id"))
     return (
         base.join(rep, id_col)
+        .join(mins, "__md5")
         .withColumn(
-            "content_canonical", F.col(id_col) == F.min(id_col).over(w)
+            "content_canonical", F.col(id_col) == F.col("__first_id")
         )
         .withColumn(
             "keep",
             F.col("quality_ok") & F.col("repetition_ok")
             & F.col("content_canonical"),
         )
-        .drop("__md5")
+        .drop("__md5", "__first_id")
     )
 
 

@@ -225,6 +225,19 @@ def test_url_canonicalization_stays_jvm_side(spark):
     assert "partial_min" in plan_of(em.q_url_canonical_dedup(spark, SF), "simple")
 
 
+def test_curation_funnel_skew_safe_plan(spark):
+    """The funnel's exact-content keeper (content_canonical) is the
+    same two-stage min-agg + join-back shape as the dedup keepers — a
+    corpus-wide duplicated doc must partial-agg map-side, never pin a
+    window task."""
+    from smart_ocr_spark.functions import curation
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    df = curation.curation_funnel(docs)
+    assert "Window" not in plan_of(df)
+    assert "partial_min" in plan_of(df, "simple")
+
+
 def test_paragraph_dedup_skew_safe_plan(spark):
     """VERDICT r4 #1: the paragraph keeper is a two-stage
     min(struct(id, pos, para)) aggregation keyed by the 8-byte
