@@ -712,6 +712,24 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.url_dedup_keep_list(docs)
 
 
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup tier (Dolma-style): docs with
+    doc_id %% 3 == 0 are the arriving dump, the rest are history; the
+    op returns exactly the rows whose TEXT never appeared in history —
+    the Bloom filter only reshapes the plan (definite-new rows skip
+    the exact anti-join), never the result, so the plain anti-join is
+    the oracle.  bloom_candidate is plan metadata (which rows needed
+    the exact check) and is excluded from the compare."""
+    from smart_ocr_spark.functions import bloom
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    out = bloom.incremental_new_keys(new, seen, "text", n_buckets=16)
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host curation rollup over the planted URLs: raw docs vs
     distinct canonical URLs vs dedup survivors (the host-grain
@@ -1345,6 +1363,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "semantic_dedup": q_semantic_dedup,
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
     }
 
 
@@ -1362,6 +1381,8 @@ _ROTATED_TO_EXTRA = (
     "classify_priority",
     "json_extract_rollup",
     "setop_untried",
+    # round-5 NEW op: overflow beyond the cap until a future rotation
+    "dedup_incremental_bloom",
 )
 
 
@@ -2677,6 +2698,14 @@ SELECT host, count(*) AS n_docs,
   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM keep GROUP BY host
+""",
+        # the Bloom tier is plan-shape only: the oracle is the exact
+        # anti-join the op must reproduce bit-for-bit
+        "dedup_incremental_bloom": """
+SELECT n.doc_id, n.lang, n.n_chars
+FROM documents n
+WHERE n.doc_id % 3 = 0
+  AND n.text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
 """,
     }
 
