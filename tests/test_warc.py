@@ -1,0 +1,108 @@
+"""WARC ingestion source: byte-faithful record parsing (Content-Length
+delimited, multi-member gzip, HTTP envelope strip), honest drops, and
+the flagship hop — a WARC shard fed straight into the extraction
+pipeline produces byte-identical text."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_ocr_spark.sources import warc
+
+
+def _records():
+    return [
+        ("http://a.example/page1", "2026-01-01T10:00:00Z", b"<p>alpha</p>"),
+        # payload containing the record separator AND a fake version
+        # line: Content-Length framing must not be fooled
+        ("http://b.example/page2", "2026-01-02T11:30:00Z",
+         b"<p>tricky\r\n\r\nWARC/1.0\r\nbody</p>"),
+        ("http://c.example/page3", "2026-01-03T12:00:00Z",
+         "<p>unicode é中</p>".encode("utf-8")),
+    ]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_roundtrip(spark, tmp_path, compress):
+    ext = "warc.gz" if compress else "warc"
+    path = str(tmp_path / f"shard-00000.{ext}")
+    warc.write_warc_file(path, _records(), compress=compress)
+    out = warc.warc_to_corpus(spark, path).orderBy("url").collect()
+    assert [r["url"] for r in out] == [u for u, _, _ in _records()]
+    assert [bytes(r["html"]) for r in out] == [p for _, _, p in _records()]
+    assert str(out[0]["warc_ts"]) == "2026-01-01 10:00:00"
+    assert all(r["lang"] is None for r in out)
+
+
+def test_warc_skips_non_response_records(spark, tmp_path):
+    path = str(tmp_path / "mixed.warc")
+    with open(path, "wb") as f:
+        f.write(warc.warc_record_bytes(
+            "meta:info", "2026-01-01T00:00:00Z", b"crawler=test",
+            warc_type="warcinfo", http_envelope=False))
+        f.write(warc.warc_record_bytes(
+            "http://x.example/", "2026-01-01T00:00:01Z",
+            b"GET / HTTP/1.1", warc_type="request", http_envelope=False))
+        f.write(warc.warc_record_bytes(
+            "http://x.example/", "2026-01-01T00:00:02Z", b"<p>real</p>"))
+    out = warc.warc_to_corpus(spark, path).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["html"]) == b"<p>real</p>"
+
+
+def test_warc_oversized_drop_is_logged(spark, tmp_path):
+    path = str(tmp_path / "big.warc")
+    warc.write_warc_file(path, [
+        ("http://small.example/", "2026-01-01T00:00:00Z", b"<p>ok</p>"),
+        ("http://big.example/", "2026-01-01T00:00:01Z", b"x" * 10_000),
+    ])
+    out = warc.warc_to_corpus(
+        spark, path, max_payload_bytes=1_000
+    ).collect()
+    # exactly the oversized record dropped, nothing else
+    assert [r["url"] for r in out] == ["http://small.example/"]
+    # the warning fires inside the Python worker (not driver-visible to
+    # caplog); the record-count contract above is the observable pin,
+    # and the kernel view confirms the drop is size-driven, not a
+    # parse failure
+    blocks = [
+        warc.strip_http_envelope(b)
+        for _, b in warc.iter_warc_records(open(path, "rb").read())
+    ]
+    assert len(blocks) == 2 and sum(len(b) > 1_000 for b in blocks) == 1
+
+
+def test_warc_malformed_raises():
+    with pytest.raises(ValueError, match="version line"):
+        list(warc.iter_warc_records(b"NOT-A-WARC\r\n\r\nbody"))
+    bad_len = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: 999\r\n\r\nshort")
+    with pytest.raises(ValueError, match="past EOF"):
+        list(warc.iter_warc_records(bad_len))
+
+
+def test_warc_feeds_extraction_byte_identically(spark, tmp_path):
+    """The flagship hop: synthetic corpus docs written as a CC-style
+    gzipped WARC shard, ingested via warc_to_corpus, run through the
+    full extraction pipeline — final_text matches the corpus golden
+    byte-for-byte, same as the direct-parquet path."""
+    from smart_ocr_spark.plans.extract_pipeline import run_extraction
+    from smart_ocr_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 24, seed=7)
+    rows = docs.select("url", "warc_ts", "html", "text").collect()
+    shard = str(tmp_path / "corpus-00000.warc.gz")
+    warc.write_warc_file(
+        shard,
+        [(r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+          bytes(r["html"])) for r in rows],
+        compress=True,
+    )
+    ingested = warc.warc_to_corpus(spark, shard)
+    assert ingested.count() == 24
+    out = run_extraction(spark, ingested)
+    golden = docs.select("url", F.col("text").alias("golden"))
+    joined = out.join(golden, "url")
+    assert joined.count() == 24
+    assert joined.filter(F.col("final_text") != F.col("golden")).count() == 0
