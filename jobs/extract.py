@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet/table path")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc"],
+                    help="'warc' ingests Common-Crawl shard files "
+                         "(.warc/.warc.gz) via sources/warc.py")
     ap.add_argument("--output", required=True, help="output root (results + state)")
     ap.add_argument("--buckets", type=int, default=1024)
     ap.add_argument("--max-buckets", type=int, default=None,
@@ -49,7 +53,12 @@ def main() -> int:
 
     spark = build_session("socr-extract", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
-    documents = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from smart_ocr_spark.sources.warc import warc_to_corpus
+
+        documents = warc_to_corpus(spark, args.input)
+    else:
+        documents = spark.read.parquet(args.input)
 
     stats = run_with_checkpoint(
         spark,
