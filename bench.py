@@ -127,7 +127,9 @@ def main() -> int:
     names = (
         [n.strip() for n in args.queries.split(",")] if args.queries else HEADLINE
     )
-    qs = entrymod.queries()
+    # resolve from BOTH pools so registry rotations can never break a
+    # HEADLINE name (and --queries can measure overflow ops too)
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     unknown = [n for n in names if n not in qs]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}; valid: {sorted(qs)}")
