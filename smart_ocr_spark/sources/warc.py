@@ -29,13 +29,16 @@ this environment and none is needed):
 Scale shape: one task per shard file — exactly how Common Crawl
 shards are sized to be consumed (the dump IS the partitioning; 100k
 shards saturate any cluster).  Parsing is ``mapInPandas`` over
-``binaryFile`` rows: record iteration and HTTP-envelope stripping are
-bytes operations inside the Arrow batch, no per-row Python at the
-Spark layer.  Oversized payloads are dropped-with-count via
-``max_payload_bytes`` (no-silent-caps: the drop count is logged and
-available as the ``warc_oversized`` accumulator column when
-``keep_stats`` is set) — the downstream size-bucketed repartition in
-the extraction plan handles legitimate big blobs.
+``binaryFile`` rows and fully STREAMING: for local/mounted paths only
+the file path rides the Spark row (binaryFile column pruning — the
+shard bytes never enter the JVM) and the task reads the file through
+a bounded buffered reader; records are emitted in ``batch_records``-
+sized Arrow batches, so peak task memory is one record + one batch
+regardless of shard size (a 1 GiB gz shard does NOT inflate to 4 GiB
+in memory).  Oversized payloads are dropped-with-count via
+``max_payload_bytes`` (no-silent-caps: the per-shard drop count is
+logged) — the downstream size-bucketed repartition in the extraction
+plan handles legitimate big blobs.
 
 The writer half (`warc_record_bytes` / `write_warc_file`) exists for
 deterministic round-trip fixtures and tests — byte-faithful records
@@ -60,26 +63,101 @@ DEFAULT_RECORD_TYPES = ("response",)
 
 
 # ---------------------------------------------------------------------------
-# Record-level parse (pure bytes; shared by batch + tests)
+# Record-level parse (streaming; shared by batch + tests)
 # ---------------------------------------------------------------------------
 
+_READ_CHUNK = 1 << 20  # 1 MiB fill granularity
+_MAX_HEADER_BYTES = 1 << 20  # a WARC header block beyond 1 MiB is garbage
 
-def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield (headers, block) per record.  Content-Length-driven —
-    malformed trailing garbage raises rather than silently truncating."""
-    pos, n = 0, len(data)
-    while pos < n:
-        while data.startswith(b"\r\n", pos):
-            pos += 2
-        if pos >= n:
-            break
-        end_hdr = data.find(b"\r\n\r\n", pos)
-        if end_hdr < 0:
-            raise ValueError(f"unterminated WARC header at offset {pos}")
-        header_lines = data[pos:end_hdr].decode("utf-8", "replace").split("\r\n")
+
+class _StreamReader:
+    """Minimal buffered reader over a binary file-like with absolute
+    offset tracking (for error messages).  Peak buffer residency is
+    one header block or one fill chunk — never the shard."""
+
+    def __init__(self, fobj) -> None:
+        self._f = fobj
+        self._buf = bytearray()
+        self._eof = False
+        self.pos = 0  # absolute offset of _buf[0] in the stream
+
+    def _fill(self) -> bool:
+        if self._eof:
+            return False
+        chunk = self._f.read(_READ_CHUNK)
+        if not chunk:
+            self._eof = True
+            return False
+        self._buf += chunk
+        return True
+
+    def skip_crlf_padding(self) -> None:
+        while True:
+            while len(self._buf) < 2 and self._fill():
+                pass
+            if self._buf[:2] == b"\r\n":
+                del self._buf[:2]
+                self.pos += 2
+            else:
+                return
+
+    def at_eof(self) -> bool:
+        if self._buf:
+            return False
+        return not self._fill()
+
+    def read_until_blank(self) -> bytes:
+        """Consume up to and incl. the first CRLFCRLF; return the bytes
+        BEFORE it.  Raises on EOF or an over-long header block."""
+        start_pos = self.pos
+        scan_from = 0
+        while True:
+            idx = self._buf.find(b"\r\n\r\n", max(scan_from - 3, 0))
+            if idx >= 0:
+                out = bytes(self._buf[:idx])
+                del self._buf[:idx + 4]
+                self.pos += idx + 4
+                return out
+            if len(self._buf) > _MAX_HEADER_BYTES:
+                raise ValueError(
+                    f"unterminated WARC header at offset {start_pos}"
+                )
+            scan_from = len(self._buf)
+            if not self._fill():
+                raise ValueError(
+                    f"unterminated WARC header at offset {start_pos}"
+                )
+
+    def read_exact(self, n: int, record_pos: int) -> bytes:
+        while len(self._buf) < n:
+            if not self._fill():
+                raise ValueError(
+                    f"record at offset {record_pos} claims "
+                    f"{n} bytes past EOF"
+                )
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        self.pos += n
+        return out
+
+
+def iter_warc_stream(fobj) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, block) per record from a binary file-like.
+    Content-Length-driven — malformed trailing garbage raises rather
+    than silently truncating.  Memory: ONE record at a time (the 100 TB
+    shape — a 1 GiB shard never resides in task memory; Common Crawl
+    truncates individual records at ~1 MiB, which is the actual bound)."""
+    rdr = _StreamReader(fobj)
+    while True:
+        rdr.skip_crlf_padding()
+        if rdr.at_eof():
+            return
+        record_pos = rdr.pos
+        header_block = rdr.read_until_blank()
+        header_lines = header_block.decode("utf-8", "replace").split("\r\n")
         if not header_lines[0].startswith("WARC/"):
             raise ValueError(
-                f"expected WARC version line at offset {pos}, "
+                f"expected WARC version line at offset {record_pos}, "
                 f"got {header_lines[0][:40]!r}"
             )
         headers: dict[str, str] = {}
@@ -89,14 +167,16 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
-            raise ValueError(f"bad Content-Length at offset {pos}") from exc
-        body_start = end_hdr + 4
-        if body_start + length > n:
             raise ValueError(
-                f"record at offset {pos} claims {length} bytes past EOF"
-            )
-        yield headers, data[body_start:body_start + length]
-        pos = body_start + length
+                f"bad Content-Length at offset {record_pos}"
+            ) from exc
+        yield headers, rdr.read_exact(length, record_pos)
+
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Bytes-level convenience wrapper over :func:`iter_warc_stream`
+    (tests / small fixtures)."""
+    yield from iter_warc_stream(io.BytesIO(data))
 
 
 def strip_http_envelope(block: bytes) -> bytes:
@@ -117,11 +197,75 @@ def _parse_warc_date(raw: str) -> _dt.datetime | None:
         return None
 
 
-def _maybe_gunzip(path: str, content: bytes) -> bytes:
-    if path.endswith(".gz") or content[:2] == b"\x1f\x8b":
-        # multi-member: CC gzips each record as its own member
-        return gzip.GzipFile(fileobj=io.BytesIO(content)).read()
-    return content
+def _wrap_gunzip(fobj, path: str):
+    """Streaming multi-member gunzip (CC gzips each record as its own
+    member; GzipFile reads concatenated members and streams — it never
+    inflates the whole shard at once).  Non-gz streams pass through."""
+    if path.endswith(".gz"):
+        return gzip.GzipFile(fileobj=fobj)
+    head = fobj.peek(2)[:2] if hasattr(fobj, "peek") else fobj.read(2)
+    if not hasattr(fobj, "peek"):
+        fobj.seek(0)
+    return gzip.GzipFile(fileobj=fobj) if head == b"\x1f\x8b" else fobj
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile emits ``file:`` URIs; map back to an OS path."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" not in uri and not uri.startswith("file:"):
+        return uri
+    parsed = urlparse(uri)
+    return unquote(parsed.path)
+
+
+def _parse_shard(
+    fobj,
+    shard_name: str,
+    wanted: tuple[str, ...],
+    max_payload_bytes: int | None,
+    batch_records: int,
+) -> Iterator[pd.DataFrame]:
+    """One shard (already-open binary stream) → bounded pandas batches.
+    Peak memory: ``batch_records`` payloads + one in-flight record,
+    INDEPENDENT of shard size."""
+    urls: list = []
+    tss: list = []
+    htmls: list = []
+    n_oversized = 0
+
+    def flush() -> pd.DataFrame:
+        nonlocal urls, tss, htmls
+        out = pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(tss, dtype="datetime64[ns]"),
+                "html": pd.Series(htmls, dtype="object"),
+                "lang": pd.Series([None] * len(urls), dtype="object"),
+            }
+        )
+        urls, tss, htmls = [], [], []
+        return out
+
+    for headers, block in iter_warc_stream(_wrap_gunzip(fobj, shard_name)):
+        if headers.get("warc-type", "").lower() not in wanted:
+            continue
+        payload = strip_http_envelope(block)
+        if max_payload_bytes is not None and len(payload) > max_payload_bytes:
+            n_oversized += 1
+            continue
+        urls.append(headers.get("warc-target-uri", ""))
+        tss.append(_parse_warc_date(headers.get("warc-date", "")))
+        htmls.append(payload)
+        if len(urls) >= batch_records:
+            yield flush()
+    if n_oversized:
+        _log.warning(
+            "warc_to_corpus: dropped %d record(s) over "
+            "max_payload_bytes=%d in %s",
+            n_oversized, max_payload_bytes, shard_name,
+        )
+    yield flush()
 
 
 # ---------------------------------------------------------------------------
@@ -134,48 +278,44 @@ def warc_to_corpus(
     path: str,
     record_types: tuple[str, ...] = DEFAULT_RECORD_TYPES,
     max_payload_bytes: int | None = None,
+    batch_records: int = 1024,
 ) -> DataFrame:
     """Read WARC shard files under ``path`` (glob ok; ``.warc`` and
     ``.warc.gz``) into the pipeline input schema
-    (url, warc_ts, html, lang) — one parse task per shard."""
-    files = spark.read.format("binaryFile").load(path).select(
+    (url, warc_ts, html, lang) — one parse task per shard.
+
+    Scale shape: for local/posix paths (incl. cluster-mounted storage)
+    only the file PATH rides the Spark row — binaryFile's column
+    pruning means the shard bytes never enter the JVM; the Python task
+    opens the file and streams it, so a 1 GiB gz shard costs one
+    record + one emitted batch of memory, not 4 GiB of inflated bytes.
+    For object-store URIs (s3://, hdfs://...) Python can't open the
+    path directly, so the shard's compressed bytes ride the row
+    (binaryFile's grain — bounded by the shard size CC itself picks)
+    and the SAME streaming parser consumes them from a BytesIO; batches
+    stay bounded either way."""
+    wanted = tuple(t.lower() for t in record_types)
+    stream_local = "://" not in path or path.startswith("file:")
+    files = spark.read.format("binaryFile").load(path)
+    files = files.select("path") if stream_local else files.select(
         "path", "content"
     )
-    wanted = tuple(t.lower() for t in record_types)
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                data = _maybe_gunzip(str(path_), bytes(content))
-                urls, tss, htmls = [], [], []
-                n_oversized = 0
-                for headers, block in iter_warc_records(data):
-                    if headers.get("warc-type", "").lower() not in wanted:
-                        continue
-                    payload = strip_http_envelope(block)
-                    if (
-                        max_payload_bytes is not None
-                        and len(payload) > max_payload_bytes
-                    ):
-                        n_oversized += 1
-                        continue
-                    urls.append(headers.get("warc-target-uri", ""))
-                    tss.append(_parse_warc_date(headers.get("warc-date", "")))
-                    htmls.append(payload)
-                if n_oversized:
-                    _log.warning(
-                        "warc_to_corpus: dropped %d record(s) over "
-                        "max_payload_bytes=%d in %s",
-                        n_oversized, max_payload_bytes, path_,
+            for i in range(len(pdf)):
+                shard = str(pdf["path"].iloc[i])
+                if stream_local:
+                    with open(_local_path(shard), "rb") as f:
+                        yield from _parse_shard(
+                            f, shard, wanted, max_payload_bytes,
+                            batch_records,
+                        )
+                else:
+                    yield from _parse_shard(
+                        io.BytesIO(bytes(pdf["content"].iloc[i])), shard,
+                        wanted, max_payload_bytes, batch_records,
                     )
-                yield pd.DataFrame(
-                    {
-                        "url": pd.Series(urls, dtype="object"),
-                        "warc_ts": pd.Series(tss, dtype="datetime64[ns]"),
-                        "html": pd.Series(htmls, dtype="object"),
-                        "lang": pd.Series([None] * len(urls), dtype="object"),
-                    }
-                )
 
     return files.mapInPandas(parse, CORPUS_SCHEMA)
 

@@ -82,6 +82,66 @@ def test_warc_malformed_raises():
         list(warc.iter_warc_records(bad_len))
 
 
+def test_warc_stream_matches_bytes_parser(tmp_path):
+    """iter_warc_stream over an open file == iter_warc_records over the
+    slurped bytes, record for record (incl. the separator-in-payload
+    trap)."""
+    path = str(tmp_path / "parity.warc")
+    warc.write_warc_file(path, _records())
+    with open(path, "rb") as f:
+        streamed = [(h, b) for h, b in warc.iter_warc_stream(f)]
+    slurped = list(warc.iter_warc_records(open(path, "rb").read()))
+    assert streamed == slurped
+
+
+def test_warc_stream_parses_gz_members_incrementally(tmp_path):
+    """The gz path goes through the SAME streaming reader (GzipFile
+    over the raw stream — concatenated CC members, no full inflate)."""
+    path = str(tmp_path / "parity.warc.gz")
+    warc.write_warc_file(path, _records(), compress=True)
+    with open(path, "rb") as f:
+        out = list(warc.iter_warc_stream(warc._wrap_gunzip(f, path)))
+    assert [h["warc-target-uri"] for h, _ in out] == [
+        u for u, _, _ in _records()
+    ]
+
+
+def test_warc_parse_shard_batches_are_bounded(tmp_path):
+    """A shard with many records yields ceil(n/batch_records) pandas
+    batches — the memory contract: no shard-sized Arrow batch ever."""
+    recs = [
+        (f"http://x.example/{i}", "2026-01-01T00:00:00Z",
+         f"<p>doc {i}</p>".encode())
+        for i in range(7)
+    ]
+    path = str(tmp_path / "many.warc")
+    warc.write_warc_file(path, recs)
+    with open(path, "rb") as f:
+        batches = list(warc._parse_shard(
+            f, path, ("response",), None, batch_records=3))
+    assert [len(b) for b in batches] == [3, 3, 1]
+    assert [u for b in batches for u in b["url"]] == [u for u, _, _ in recs]
+
+
+def test_warc_to_corpus_small_batches_identical(spark, tmp_path):
+    """batch_records doesn't change results, only batch shape."""
+    path = str(tmp_path / "sb.warc")
+    warc.write_warc_file(path, _records())
+    out = warc.warc_to_corpus(spark, path, batch_records=1).orderBy(
+        "url").collect()
+    assert [bytes(r["html"]) for r in out] == [p for _, _, p in _records()]
+
+
+def test_warc_header_bomb_raises(tmp_path):
+    """A 'header' that never terminates must error (bounded scan), not
+    buffer the whole stream."""
+    import io as _io
+
+    bomb = b"WARC/1.0\r\nWARC-Type: response\r\n" + b"x" * (2 << 20)
+    with pytest.raises(ValueError, match="unterminated WARC header"):
+        list(warc.iter_warc_stream(_io.BytesIO(bomb)))
+
+
 def test_warc_feeds_extraction_byte_identically(spark, tmp_path):
     """The flagship hop: synthetic corpus docs written as a CC-style
     gzipped WARC shard, ingested via warc_to_corpus, run through the
