@@ -678,6 +678,37 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag models on target (lang='en') vs the raw pool; per-doc log10
+    likelihood ratio.  512 buckets so hash collisions are exercised at
+    fixture scale."""
+    from smart_ocr_spark.functions import selection
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return selection.dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=512
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed NB log-odds quality classifier (fastText-style gate in
+    its deterministic Naive-Bayes form): train on a 30% md5-sampled
+    labeled slice (proxy label lang='en'), score the WHOLE corpus —
+    the train/apply split is visible in the plan (model ≤512 rows,
+    broadcast)."""
+    from smart_ocr_spark.functions import sampling, selection
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.where(
+        sampling.sample_hash_col(F.col("doc_id").cast("string"), "lbl")
+        < F.lit(int(0.3 * sampling.HASH_SPACE))
+    ).withColumn("label", F.col("lang") == F.lit("en"))
+    return selection.nb_classifier_scores(docs, labeled, n_buckets=512)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
     shared boilerplate paragraph appended — after dedup exactly ONE doc
@@ -1364,6 +1395,8 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "url_canonical_dedup": q_url_canonical_dedup,
         "url_host_stats": q_url_host_stats,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "dsir_importance": q_dsir_importance,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1381,8 +1414,10 @@ _ROTATED_TO_EXTRA = (
     "classify_priority",
     "json_extract_rollup",
     "setop_untried",
-    # round-5 NEW op: overflow beyond the cap until a future rotation
+    # round-5 NEW ops: overflow beyond the cap until a future rotation
     "dedup_incremental_bloom",
+    "dsir_importance",
+    "quality_classifier",
 )
 
 
@@ -1418,6 +1453,20 @@ _TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text),"
     " '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
 )
+
+# Hashed unigram+bigram feature instances for the selection ops
+# (functions/selection.py mirror): md5-prefix bucket hash, 512 buckets
+_SELFEAT_SQL = f"""
+WITH tk AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+ft AS (SELECT doc_id, lang, unnest(list_concat(t,
+    CASE WHEN len(t) < 2 THEN [] ELSE
+      list_transform(generate_series(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i + 1]) END)) AS tok
+  FROM tk),
+fb AS (SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('sel:' || tok), 1, 8))::UBIGINT % 512
+         AS BIGINT) AS bucket
+  FROM ft)"""
 
 _SHINGLES_SQL = f"""
   SELECT doc_id, unnest(list_distinct(
@@ -2706,6 +2755,56 @@ SELECT n.doc_id, n.lang, n.n_chars
 FROM documents n
 WHERE n.doc_id % 3 = 0
   AND n.text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+""",
+        # DSIR (Xie et al. 2023): hashed unigram+bigram bag models,
+        # target = lang='en' vs the raw pool, add-one smoothing over
+        # the 512-bucket space, per-doc log10 likelihood ratio
+        "dsir_importance": _SELFEAT_SQL + f"""
+, tgt AS (SELECT bucket, count(*) AS cn FROM fb
+    WHERE lang = 'en' GROUP BY bucket),
+raw AS (SELECT bucket, count(*) AS cd FROM fb GROUP BY bucket),
+tot AS (SELECT
+    (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM tgt) AS n_num,
+    (SELECT CAST(coalesce(sum(cd), 0) AS BIGINT) FROM raw) AS n_den),
+w AS (SELECT bucket,
+    log10((coalesce(cn, 0) + 1) / CAST(n_num + 512 AS DOUBLE))
+  - log10((coalesce(cd, 0) + 1) / CAST(n_den + 512 AS DOUBLE)) AS w
+  FROM tgt FULL JOIN raw USING (bucket) CROSS JOIN tot),
+per AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+    round(sum(coalesce(w.w, 0.0)), 4) + 0.0 AS log_weight,
+    round(avg(coalesce(w.w, 0.0)), 4) + 0.0 AS avg_weight
+  FROM fb LEFT JOIN w ON w.bucket = fb.bucket GROUP BY fb.doc_id)
+SELECT d.doc_id, coalesce(p.n_features, 0) AS n_features,
+  coalesce(p.log_weight, 0.0) AS log_weight,
+  coalesce(p.avg_weight, 0.0) AS avg_weight
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+""",
+        # NB log-odds classifier: 30%-md5-sampled labeled slice with
+        # proxy label lang='en'; same hashed-feature space + smoothing
+        "quality_classifier": _SELFEAT_SQL + f"""
+, lab AS (SELECT doc_id, lang = 'en' AS label FROM documents
+    WHERE ('0x' || substr(md5('lbl:' || doc_id), 1, 8))::UBIGINT
+      < {int(0.3 * 4294967296)}::UBIGINT),
+pos AS (SELECT bucket, count(*) AS cn
+    FROM fb JOIN lab USING (doc_id) WHERE label GROUP BY bucket),
+neg AS (SELECT bucket, count(*) AS cd
+    FROM fb JOIN lab USING (doc_id) WHERE NOT label GROUP BY bucket),
+tot AS (SELECT
+    (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM pos) AS n_num,
+    (SELECT CAST(coalesce(sum(cd), 0) AS BIGINT) FROM neg) AS n_den),
+w AS (SELECT bucket,
+    log10((coalesce(cn, 0) + 1) / CAST(n_num + 512 AS DOUBLE))
+  - log10((coalesce(cd, 0) + 1) / CAST(n_den + 512 AS DOUBLE)) AS w
+  FROM pos FULL JOIN neg USING (bucket) CROSS JOIN tot),
+per AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+    round(sum(coalesce(w.w, 0.0)), 4) + 0.0 AS score,
+    round(avg(coalesce(w.w, 0.0)), 4) + 0.0 AS avg_weight
+  FROM fb LEFT JOIN w ON w.bucket = fb.bucket GROUP BY fb.doc_id)
+SELECT d.doc_id, coalesce(p.n_features, 0) AS n_features,
+  coalesce(p.score, 0.0) AS score,
+  coalesce(p.avg_weight, 0.0) AS avg_weight,
+  coalesce(p.score, 0.0) > 0 AS pred
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """,
     }
 
