@@ -709,6 +709,50 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.nb_classifier_scores(docs, labeled, n_buckets=512)
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sequence packing: docs land on a per-group
+    virtual token tape (8 hash-uniform groups), bin = start_offset //
+    512-token budget.  Window key is the UNIFORM group hash — balanced
+    partitions by construction."""
+    from smart_ocr_spark.functions import packing
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_offsets(docs, budget=512, n_groups=8)
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample to a
+    50/30/20 mix over three sources at the largest feasible total;
+    hash-threshold per class, classes outside the recipe dropped."""
+    from smart_ocr_spark.functions import sampling
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.resample_to_mix(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line dedup (map-only boilerplate scrub): a cookie-
+    banner line is planted twice in every doc; dedup keeps the first
+    occurrence in place and the counts expose the removal."""
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nWe use cookies on this site\nContact us"
+                  "\nWe use cookies on this site"),
+        ).alias("text"),
+    )
+    return dedup.line_dedup_within_doc(docs)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
     shared boilerplate paragraph appended — after dedup exactly ONE doc
@@ -1397,6 +1441,9 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dsir_importance": q_dsir_importance,
         "quality_classifier": q_quality_classifier,
+        "seq_packing": q_seq_packing,
+        "mix_resample": q_mix_resample,
+        "dedup_doc_lines": q_dedup_doc_lines,
     }
 
 
@@ -1418,6 +1465,9 @@ _ROTATED_TO_EXTRA = (
     "dedup_incremental_bloom",
     "dsir_importance",
     "quality_classifier",
+    "seq_packing",
+    "mix_resample",
+    "dedup_doc_lines",
 )
 
 
@@ -2805,6 +2855,60 @@ SELECT d.doc_id, coalesce(p.n_features, 0) AS n_features,
   coalesce(p.avg_weight, 0.0) AS avg_weight,
   coalesce(p.score, 0.0) > 0 AS pred
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+""",
+        # Sequence packing: per-group virtual token tape, bin by start
+        # offset // budget (budget 512, 8 md5-uniform groups)
+        "seq_packing": f"""
+WITH tk AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('pack:' || doc_id), 1, 8))::UBIGINT % 8
+         AS BIGINT) AS group_id,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (SELECT doc_id, group_id, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY group_id ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS BIGINT) AS start_offset
+  FROM tk)
+SELECT doc_id, group_id, n_tokens, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS bin_id
+FROM cum
+""",
+        # Mixture resampling: T = min(n/p) feasible total, per-class
+        # keep threshold floor((p*T/n) * 2^32), md5-hash keep rule
+        "mix_resample": """
+WITH tgt(source, p) AS (VALUES
+    ('src0', CAST(0.5 AS DOUBLE)),
+    ('src1', CAST(0.3 AS DOUBLE)),
+    ('src2', CAST(0.2 AS DOUBLE))),
+cnt AS (SELECT d.source, t.p, CAST(count(*) AS DOUBLE) AS n
+  FROM documents d JOIN tgt t USING (source) GROUP BY d.source, t.p),
+tt AS (SELECT min(n / p) AS t_total FROM cnt),
+thr AS (SELECT source,
+    CAST(floor((p * t_total / n) * 4294967296.0) AS BIGINT)
+      AS keep_threshold
+  FROM cnt CROSS JOIN tt)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE CAST(('0x' || substr(md5('mix0:' || d.doc_id), 1, 8))::UBIGINT
+           AS BIGINT) < thr.keep_threshold
+""",
+        # Within-doc line dedup: keep first occurrence of each content
+        # line (1-based lambda index == list_position of first match);
+        # whitespace-only lines are structure and always kept
+        "dedup_doc_lines": """
+WITH p AS (SELECT doc_id,
+    text || chr(10) || 'We use cookies on this site' || chr(10) ||
+    'Contact us' || chr(10) || 'We use cookies on this site' AS t
+  FROM documents),
+s AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM p),
+k AS (SELECT doc_id, l,
+    list_filter(l, (x, i) -> len(trim(x)) = 0
+                             OR list_position(l, x) = i) AS kept
+  FROM s)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  array_to_string(kept, chr(10)) AS cleaned_text
+FROM k
 """,
     }
 

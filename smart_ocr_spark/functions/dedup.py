@@ -383,6 +383,45 @@ def paragraph_dedup(
     )
 
 
+def line_dedup_within_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-doc line dedup: drop every repeat of a line inside one
+    document, keeping the first occurrence in place (the boilerplate
+    scrub of RefinedWeb/ccnet-style web cleaning — nav menus, cookie
+    banners, and footer lines repeat inside a page long before they
+    repeat across the corpus; cross-corpus grain is
+    :func:`paragraph_dedup`).
+
+    Scale shape: MAP-ONLY.  The whole operator is per-row array
+    algebra (split → keep-first-index filter → rejoin) inside
+    whole-stage codegen — zero shuffles, zero Python, no state; it
+    composes into any scan for free.  The first-occurrence test is
+    ``array_position(lines, x) == index``, quadratic in a doc's line
+    count — per-doc bounded work that stays on the mapper (a 10k-line
+    doc is ~5·10⁷ short-string compares, still microseconds-to-ms
+    scale), which at 100 TB beats any explode+shuffle reformulation
+    that would move every line of the corpus.
+
+    Output: (id, n_lines, n_kept, cleaned_text).  Blank lines carry no
+    content and are all kept in place (they are structure, not text —
+    and dropping "every blank line after the first" would glue
+    unrelated sections together).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_keeper = (
+        lambda x, i: (F.length(F.trim(x)) == 0)
+        | (F.array_position(lines, x) == i + 1)
+    )
+    kept = F.filter(lines, is_keeper)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

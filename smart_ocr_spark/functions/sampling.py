@@ -74,6 +74,73 @@ def deterministic_split(
     return df.where(h < F.lit(threshold)), df.where(h >= F.lit(threshold))
 
 
+def resample_to_mix(
+    df: DataFrame,
+    class_col: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Deterministically downsample to a target class mixture (the
+    domain-reweighting step of LM data recipes: "the training set
+    should be 30% web, 30% code, 40% papers").
+
+    ``targets`` maps class value -> desired share (must sum to ~1).
+    The largest achievable total preserving the exact mixture is
+    ``T = min_c(n_c / p_c)``; each class keeps fraction
+    ``p_c * T / n_c`` (the binding class keeps everything), chosen by
+    the same stable md5 threshold as :func:`deterministic_sample` —
+    so the resample is reproducible across runs, partitionings, and
+    engines, and classes not listed in ``targets`` are dropped.
+
+    Scale shape: class counts are ONE aggregation with at most
+    ``len(targets)`` result rows, broadcast back onto the corpus; the
+    per-row decision is then a JVM hash-threshold compare.  The corpus
+    never shuffles — the only exchange is the tiny counts agg.
+
+    Engine parity: thresholds are ``floor((p * T / n) * 2^32)`` with
+    the multiplication/division in that exact order, so IEEE double
+    arithmetic produces bit-identical thresholds in Spark and SQL.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for c, p in targets.items():
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"target share for {c!r} must be in (0, 1]")
+    total = sum(targets.values())
+    if not 0.99 <= total <= 1.01:
+        raise ValueError(f"target shares must sum to ~1, got {total}")
+
+    tgt = (
+        df.sparkSession.createDataFrame(
+            sorted(targets.items()), f"{class_col} string, p double"
+        )
+    )
+    counts = (
+        df.join(F.broadcast(tgt), class_col)
+        .groupBy(class_col, "p")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    feasible = counts.agg(
+        F.min(F.col("n") / F.col("p")).alias("t_total")
+    )
+    thresholds = counts.crossJoin(F.broadcast(feasible)).select(
+        class_col,
+        F.floor(
+            (F.col("p") * F.col("t_total") / F.col("n"))
+            * F.lit(float(HASH_SPACE))
+        ).alias("keep_threshold"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), class_col)
+        .where(
+            sample_hash_col(F.col(id_col).cast("string"), salt)
+            < F.col("keep_threshold")
+        )
+        .drop("keep_threshold")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

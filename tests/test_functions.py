@@ -1016,3 +1016,140 @@ def test_bloom_empty_history(spark):
     rows = got.collect()
     assert len(rows) == 50
     assert not any(r["bloom_candidate"] for r in rows)
+
+
+def test_pack_offsets_semantics(spark):
+    """Sequence packing: within a group the tape is a cumulative sum
+    over doc-id order, bin = start_offset // budget, and the layout is
+    partition-independent (pure function of ids and token counts)."""
+    from smart_ocr_spark.functions import packing
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i % 5)))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = packing.pack_offsets(df, budget=16, n_groups=4)
+    got = {r.doc_id: r for r in packed.collect()}
+    assert len(got) == 200
+
+    # replay each group's tape by hand
+    by_group: dict[int, list] = {}
+    for r in sorted(got.values(), key=lambda r: r.doc_id):
+        by_group.setdefault(r.group_id, []).append(r)
+    assert set(by_group) <= set(range(4)) and len(by_group) == 4
+    for rows_g in by_group.values():
+        offset = 0
+        for r in rows_g:  # already doc_id-ordered
+            assert r.start_offset == offset
+            assert r.bin_id == offset // 16
+            offset += r.n_tokens
+
+    # partition-independence: repartitioning must not move any doc
+    again = {
+        r.doc_id: r
+        for r in packing.pack_offsets(
+            df.repartition(13), budget=16, n_groups=4
+        ).collect()
+    }
+    for i in got:
+        assert (got[i].group_id, got[i].start_offset, got[i].bin_id) == (
+            again[i].group_id,
+            again[i].start_offset,
+            again[i].bin_id,
+        )
+
+    with pytest.raises(ValueError):
+        packing.pack_offsets(df, budget=0, n_groups=4)
+    with pytest.raises(ValueError):
+        packing.pack_offsets(df, budget=16, n_groups=0)
+
+
+def test_pack_offsets_zero_token_docs_keep_position(spark):
+    from smart_ocr_spark.functions import packing
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "   "), (3, "d e")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in packing.pack_offsets(df, budget=4, n_groups=1).collect()}
+    assert got[1].n_tokens == 0 and got[2].n_tokens == 0
+    # zero-width docs occupy a tape position without advancing it
+    order = sorted(got.values(), key=lambda r: r.doc_id)
+    offset = 0
+    for r in order:
+        assert r.start_offset == offset
+        offset += r.n_tokens
+
+
+def test_packing_stats_overflow_bound(spark):
+    """A bin overflows by AT MOST one document tail: bin_tokens minus
+    the last doc's tail never exceeds the budget."""
+    from smart_ocr_spark.functions import packing
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 7) % 23))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = packing.pack_offsets(df, budget=32, n_groups=2)
+    stats = {(r.group_id, r.bin_id): r for r in packing.packing_stats(packed, 32).collect()}
+    per_doc = sorted(packed.collect(), key=lambda r: (r.group_id, r.doc_id))
+    last_in_bin: dict[tuple, int] = {}
+    for r in per_doc:
+        last_in_bin[(r.group_id, r.bin_id)] = r.n_tokens
+    for key, st in stats.items():
+        assert st.overflows == (st.bin_tokens > 32)
+        # strip the single spill-over tail -> must fit the budget
+        assert st.bin_tokens - (last_in_bin[key] if st.overflows else 0) <= 32
+        assert float(st.fill_ratio) == pytest.approx(st.bin_tokens / 32.0, abs=1e-4)
+
+
+def test_resample_to_mix_semantics(spark):
+    """Mixture resampling: the binding class keeps everything, the mix
+    approximates the recipe, unlisted classes are dropped, and the
+    decision is deterministic under repartitioning."""
+    from smart_ocr_spark.functions import sampling
+
+    rows = (
+        [(i, "web") for i in range(2000)]
+        + [(10_000 + i, "code") for i in range(1000)]
+        + [(20_000 + i, "papers") for i in range(100)]
+        + [(30_000 + i, "junk") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.resample_to_mix(df, "source", {"web": 0.5, "code": 0.3, "papers": 0.2})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in counts
+    # T = min(2000/.5, 1000/.3, 100/.2) = 500 -> papers binds, keeps all 100
+    assert counts["papers"] == 100
+    assert 0.5 * 500 * 0.7 < counts["web"] < 0.5 * 500 * 1.3
+    assert 0.3 * 500 * 0.7 < counts["code"] < 0.3 * 500 * 1.3
+
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in sampling.resample_to_mix(
+            df.repartition(17), "source", {"web": 0.5, "code": 0.3, "papers": 0.2}
+        ).collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError):
+        sampling.resample_to_mix(df, "source", {})
+    with pytest.raises(ValueError):
+        sampling.resample_to_mix(df, "source", {"web": 0.4})  # sums to 0.4
+    with pytest.raises(ValueError):
+        sampling.resample_to_mix(df, "source", {"web": 1.5, "code": -0.5})
+
+
+def test_line_dedup_within_doc(spark):
+    """Within-doc line scrub: repeats drop, first occurrence stays in
+    place, blank lines are structure and always survive."""
+    from smart_ocr_spark.functions import dedup
+
+    text = "\n".join(
+        ["Cookie banner", "real content one", "", "Cookie banner",
+         "real content two", "", "Cookie banner", "real content one"]
+    )
+    df = spark.createDataFrame([(1, text), (2, "only\nlines\nhere")], "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.line_dedup_within_doc(df).collect()}
+    assert got[1].n_lines == 8 and got[1].n_kept == 5
+    assert got[1].cleaned_text == "\n".join(
+        ["Cookie banner", "real content one", "", "real content two", ""]
+    )
+    assert got[2].n_kept == 3 and got[2].cleaned_text == "only\nlines\nhere"

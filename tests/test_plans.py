@@ -251,3 +251,32 @@ def test_paragraph_dedup_skew_safe_plan(spark):
     assert "partial_min" in simple
     # shuffle key is the fixed-width hash, not multi-KB paragraph text
     assert "xxhash64" in simple
+
+
+def test_seq_packing_uniform_window_key(spark):
+    """Sequence packing is pure JVM column algebra; its one window is
+    keyed by the hash-UNIFORM group id (partition sizes corpus/n_groups
+    by construction — the skew-safe way to use a window), and the scan
+    prunes to (doc_id, text)."""
+    plan = plan_of(em.q_seq_packing(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = [part.splitlines()[0] for part in plan.split("ReadSchema")[1:]]
+    assert scans and all("html" not in s and "lang" not in s for s in scans), scans
+
+
+def test_mix_resample_broadcasts_thresholds(spark):
+    """Mixture resampling: the corpus never shuffles — class thresholds
+    (<= |targets| rows) broadcast back onto the scan; no Python eval."""
+    plan = plan_of(em.q_mix_resample(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_is_map_only(spark):
+    """Within-doc line dedup composes into the scan with ZERO exchanges
+    and zero Python — per-row array algebra in whole-stage codegen."""
+    plan = plan_of(em.q_dedup_doc_lines(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
