@@ -753,6 +753,46 @@ def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup_within_doc(docs)
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning recipe (Raffel et al. 2020): planted suffix lines
+    exercise every line rule (terminal punct, min words, javascript)
+    and hash-free doc_id moduli vary the page flags (lorem on 1/7 of
+    docs, curly brace on 1/11)."""
+    from smart_ocr_spark.functions import c4
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nThis line ends with a terminal mark and enough words."
+                  "\nno terminal punctuation here"
+                  "\nEnable Javascript to view this content."
+                  "\nTiny."),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nLorem ipsum dolor sit amet, consectetur."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nfunction f() { return 1; }"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4.c4_clean(docs)
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: 16 hash-uniform shards,
+    within-shard order by an independent hash — a reproducible full
+    permutation of the corpus."""
+    from smart_ocr_spark.functions import packing
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return packing.shuffle_shards(docs, n_shards=16)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
     shared boilerplate paragraph appended — after dedup exactly ONE doc
@@ -1444,6 +1484,8 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "seq_packing": q_seq_packing,
         "mix_resample": q_mix_resample,
         "dedup_doc_lines": q_dedup_doc_lines,
+        "c4_filters": q_c4_filters,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -1468,6 +1510,8 @@ _ROTATED_TO_EXTRA = (
     "seq_packing",
     "mix_resample",
     "dedup_doc_lines",
+    "c4_filters",
+    "shuffle_shards",
 )
 
 
@@ -2909,6 +2953,60 @@ SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
   CAST(len(kept) AS BIGINT) AS n_kept,
   array_to_string(kept, chr(10)) AS cleaned_text
 FROM k
+""",
+        # C4 cleaning (Raffel et al. 2020): line rules = terminal
+        # punctuation + >=3 words + no "javascript"; page flags =
+        # >=5 sentences after cleaning, no lorem ipsum, no curly brace
+        "c4_filters": """
+WITH p AS (SELECT doc_id,
+    text || chr(10) ||
+    'This line ends with a terminal mark and enough words.' ||
+    chr(10) || 'no terminal punctuation here' || chr(10) ||
+    'Enable Javascript to view this content.' || chr(10) || 'Tiny.' ||
+    CASE WHEN doc_id % 7 = 0
+      THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur.'
+      ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+      THEN chr(10) || 'function f() { return 1; }'
+      ELSE '' END AS t
+  FROM documents),
+s AS (SELECT doc_id, t, string_split(t, chr(10)) AS l FROM p),
+k AS (SELECT doc_id, t, l,
+    list_filter(l, x ->
+        substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
+        AND len(list_filter(regexp_split_to_array(trim(x), '[ \t]+'),
+                            w -> w <> '')) >= 3
+        AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM s),
+c AS (SELECT doc_id, t, l, kept,
+    array_to_string(kept, chr(10)) AS cleaned_text,
+    CAST(len(string_split_regex(array_to_string(kept, chr(10)),
+                                '[.!?]')) - 1 AS BIGINT) AS n_sentences
+  FROM k)
+SELECT doc_id,
+  CAST(len(l) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  n_sentences,
+  contains(lower(t), 'lorem ipsum') AS has_lorem,
+  contains(t, '{') AS has_brace,
+  (n_sentences >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(t, '{')) AS page_keep,
+  cleaned_text
+FROM c
+""",
+        # Global training shuffle: shard by one md5 hash, order within
+        # the shard by an independent md5 hash (ties: doc_id)
+        "shuffle_shards": """
+WITH h AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shuf:shard:' || doc_id), 1, 8))::UBIGINT
+         % 16 AS BIGINT) AS shard_id,
+    CAST(('0x' || substr(md5('shuf:order:' || doc_id), 1, 8))::UBIGINT
+         AS BIGINT) AS order_key
+  FROM documents)
+SELECT doc_id, shard_id,
+  CAST(row_number() OVER (PARTITION BY shard_id
+                          ORDER BY order_key, doc_id) AS BIGINT) AS pos
+FROM h
 """,
     }
 

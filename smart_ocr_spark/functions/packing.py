@@ -87,6 +87,50 @@ def pack_offsets(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every doc a shard
+    and a position within it, uniformly pseudo-random but exactly
+    reproducible (the "shuffle the corpus into N shard files" step
+    between curation and the trainer — trainers stream shards
+    sequentially, so the shuffle must happen here, once, and any rerun
+    must place every doc identically for resumability).
+
+    ``shard_id`` and the within-shard order are INDEPENDENT md5 hashes
+    of the doc id (different salts), so the order within a shard is
+    uncorrelated with shard assignment — a full random permutation,
+    not an id sort.
+
+    Scale shape: one window, keyed by the hash-UNIFORM ``shard_id`` —
+    partition sizes are corpus/n_shards by construction (same argument
+    as :func:`pack_offsets`: ids are unique, so no hash key can pile
+    up).  Size ``n_shards`` so one shard's (id, order_key) pairs fit a
+    task; shards order concurrently.  Everything is JVM column algebra.
+
+    Output: (id, shard_id, pos) with pos 1-based in shard order.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    sid = F.col(id_col).cast("string")
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        (
+            sample_hash_col(sid, f"{salt}:shard") % F.lit(n_shards)
+        ).alias("shard_id"),
+        sample_hash_col(sid, f"{salt}:order").alias("order_key"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("order_key", "id")
+    return assigned.select(
+        F.col("id").alias(id_col),
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Roll the per-doc assignment up to (group_id, bin_id): doc count,
     token sum, 4-decimal fill ratio, and whether the bin overflows the

@@ -1153,3 +1153,81 @@ def test_line_dedup_within_doc(spark):
         ["Cookie banner", "real content one", "", "real content two", ""]
     )
     assert got[2].n_kept == 3 and got[2].cleaned_text == "only\nlines\nhere"
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """Every published C4 rule on a hand-built page: terminal punct,
+    min words, javascript lines; sentence floor, lorem ipsum, brace."""
+    from smart_ocr_spark.functions import c4
+
+    good = [
+        "The first real sentence of the page is here.",
+        "Another perfectly ordinary sentence follows it!",
+        "Is this a question with enough words?",
+        'He said "yes" and walked away saying "fine."',
+        "A fifth sentence keeps the page above the floor.",
+    ]
+    page = good + [
+        "no terminal punctuation on this line",
+        "Tiny.",                                      # < 3 words
+        "Please enable JavaScript to continue.",      # javascript rule
+    ]
+    rows = [
+        (1, "\n".join(page)),
+        (2, "\n".join(good) + "\nLorem Ipsum dolor sit amet."),
+        (3, "\n".join(good) + "\nconst f = () => { return 1; };"),
+        (4, "Too few sentences here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4.c4_clean(df).collect()}
+
+    assert got[1].n_lines == 8 and got[1].n_kept == 5
+    assert got[1].cleaned_text == "\n".join(good)
+    # sentence count: 4 one-mark lines + the quoted line's '.' inside
+    # quotes -> split on [.!?] counts every mark
+    assert got[1].n_sentences >= 5 and got[1].page_keep
+
+    assert got[2].has_lorem and not got[2].page_keep
+    assert got[3].has_brace and not got[3].page_keep
+    # the brace LINE also dies (no terminal mark after ';')
+    assert got[3].n_kept == 5
+
+    assert got[4].n_kept == 1 and got[4].n_sentences == 1
+    assert not got[4].page_keep  # under the 5-sentence floor
+
+    with pytest.raises(ValueError):
+        c4.c4_clean(df, min_words=-1)
+
+
+def test_shuffle_shards_is_reproducible_permutation(spark):
+    """Global shuffle: every doc appears exactly once, shard positions
+    are contiguous 1..n, assignment survives repartitioning, and the
+    within-shard order is NOT the id order (it's a real shuffle)."""
+    from smart_ocr_spark.functions import packing
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = packing.shuffle_shards(df, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 2000
+    assert {r.doc_id for r in rows} == set(range(2000))
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(by_shard) == set(range(8))
+    for shard_rows in by_shard.values():
+        poss = sorted(r.pos for r in shard_rows)
+        assert poss == list(range(1, len(shard_rows) + 1))
+        # hash-uniform: no shard dominates
+        assert len(shard_rows) < 2 * 2000 / 8
+        ordered_ids = [r.doc_id for r in sorted(shard_rows, key=lambda r: r.pos)]
+        assert ordered_ids != sorted(ordered_ids), "order must be shuffled"
+
+    again = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in packing.shuffle_shards(df.repartition(13), n_shards=8).collect()
+    }
+    assert again == {(r.doc_id, r.shard_id, r.pos) for r in rows}
+
+    with pytest.raises(ValueError):
+        packing.shuffle_shards(df, n_shards=0)

@@ -280,3 +280,22 @@ def test_line_dedup_is_map_only(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_c4_filters_map_only(spark):
+    """C4 cleaning composes into the scan with zero exchanges and zero
+    Python — the whole recipe is whole-stage-codegen string algebra."""
+    plan = plan_of(em.q_c4_filters(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_shuffle_shards_uniform_window_key(spark):
+    """The training shuffle's one window is keyed by the hash-uniform
+    shard id (corpus/n_shards partitions by construction); no Python,
+    and the scan prunes to the id column only."""
+    plan = plan_of(em.q_shuffle_shards(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = [part.splitlines()[0] for part in plan.split("ReadSchema")[1:]]
+    assert scans and all("text" not in s and "html" not in s for s in scans), scans
