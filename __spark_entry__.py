@@ -793,6 +793,17 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.shuffle_shards(docs, n_shards=16)
 
 
+def q_shard_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final shard assembly: shuffle + token-tape packing in ONE
+    window pass (row_number and the running token sum share a window
+    spec — single exchange on the hash-uniform shard id)."""
+    from smart_ocr_spark.functions import packing
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_shuffled(docs, budget=512, n_shards=16)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
     shared boilerplate paragraph appended — after dedup exactly ONE doc
@@ -1486,6 +1497,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "dedup_doc_lines": q_dedup_doc_lines,
         "c4_filters": q_c4_filters,
         "shuffle_shards": q_shuffle_shards,
+        "shard_assembly": q_shard_assembly,
     }
 
 
@@ -1512,6 +1524,7 @@ _ROTATED_TO_EXTRA = (
     "dedup_doc_lines",
     "c4_filters",
     "shuffle_shards",
+    "shard_assembly",
 )
 
 
@@ -3007,6 +3020,29 @@ SELECT doc_id, shard_id,
   CAST(row_number() OVER (PARTITION BY shard_id
                           ORDER BY order_key, doc_id) AS BIGINT) AS pos
 FROM h
+""",
+        # Shard assembly: shuffle + token-tape packing in shuffled
+        # order (budget 512, 16 shards; both window functions share
+        # the same partition/order spec)
+        "shard_assembly": f"""
+WITH h AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shuf:shard:' || doc_id), 1, 8))::UBIGINT
+         % 16 AS BIGINT) AS shard_id,
+    CAST(('0x' || substr(md5('shuf:order:' || doc_id), 1, 8))::UBIGINT
+         AS BIGINT) AS order_key,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (SELECT doc_id, shard_id, n_tokens,
+    CAST(row_number() OVER (PARTITION BY shard_id
+        ORDER BY order_key, doc_id) AS BIGINT) AS pos,
+    CAST(sum(n_tokens) OVER (PARTITION BY shard_id
+        ORDER BY order_key, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS BIGINT) AS start_offset
+  FROM h)
+SELECT doc_id, shard_id, pos, n_tokens, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS bin_id
+FROM cum
 """,
     }
 

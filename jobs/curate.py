@@ -33,6 +33,19 @@ Sweeps (each skippable; each writes parquet under --output):
                (functions/dedup.minhash_dedup_pairs + canonical_docs).
   semantic   — SemDeDup over --embeddings (skipped unless given);
                k derived from corpus size (k=None).
+  c4         — C4 cleaning verdicts (Raffel et al. 2020 line rules +
+               page flags) per doc (functions/c4.c4_clean).  Opt-in:
+               its page rules assume sentence-structured web prose and
+               honestly reject corpora without terminal punctuation
+               (e.g. the synthetic test tables).
+  shards     — final training-shard assembly: docs surviving every
+               gate present under --output (funnel keep, neardup
+               keep-list, c4 page_keep — each applied iff its sweep
+               output exists, so earlier runs' gates compose) are
+               shuffled into --shards hash-uniform shards and packed
+               onto --seq-len token tapes in shuffled order
+               (functions/packing.pack_shuffled), plus a per-shard
+               manifest (docs, tokens, bins).
 
 The input table must carry (doc_id, text) and optionally (lang, url).
 """
@@ -47,7 +60,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_SWEEPS = "funnel,url,paragraph,neardup"
+DEFAULT_SWEEPS = "funnel,url,paragraph,neardup,shards"
 
 
 def main() -> int:
@@ -65,6 +78,10 @@ def main() -> int:
     ap.add_argument("--langs", default=None, help="comma allowlist")
     ap.add_argument("--jaccard", type=float, default=0.8,
                     help="near-dup verification threshold")
+    ap.add_argument("--shards", type=int, default=8,
+                    help="training shard count for the shards sweep")
+    ap.add_argument("--seq-len", type=int, default=512,
+                    help="token budget per packed training sequence")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -162,6 +179,64 @@ def main() -> int:
             run_sweep("semantic", semantic_sweep)
         else:
             report["sweeps"]["semantic"] = {"skipped": "no --embeddings"}
+
+    if "c4" in sweeps:
+        def c4_sweep():
+            from smart_ocr_spark.functions import c4 as c4f
+
+            n = write(c4f.c4_clean(docs), "c4")
+            agg = spark.read.parquet(out("c4")).agg(
+                F.sum(F.col("page_keep").cast("long")).alias("pages_kept"),
+                F.sum("n_lines").alias("lines"),
+                F.sum("n_kept").alias("lines_kept"),
+            ).first()
+            return {"rows": n, "pages_kept": agg["pages_kept"],
+                    "lines": agg["lines"], "lines_kept": agg["lines_kept"]}
+        run_sweep("c4", c4_sweep)
+
+    if "shards" in sweeps:
+        def shards_sweep():
+            from smart_ocr_spark.functions import packing
+
+            survivors = docs.select("doc_id", "text")
+            gates = []
+            if os.path.isdir(out("funnel")):
+                gates.append("funnel")
+                survivors = survivors.join(
+                    spark.read.parquet(out("funnel"))
+                    .where(F.col("keep")).select("doc_id"),
+                    "doc_id",
+                )
+            if os.path.isdir(out("neardup_keep")):
+                gates.append("neardup")
+                survivors = survivors.join(
+                    spark.read.parquet(out("neardup_keep")).select("doc_id"),
+                    "doc_id",
+                )
+            if os.path.isdir(out("c4")):
+                gates.append("c4")
+                survivors = survivors.join(
+                    spark.read.parquet(out("c4"))
+                    .where(F.col("page_keep")).select("doc_id"),
+                    "doc_id",
+                )
+            packed = packing.pack_shuffled(
+                survivors, budget=args.seq_len, n_shards=args.shards
+            )
+            n = write(packed, "shards")
+            manifest = (
+                spark.read.parquet(out("shards"))
+                .groupBy("shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    (F.max("bin_id") + 1).alias("n_bins"),
+                )
+            )
+            nm = write(manifest, "shard_manifest")
+            return {"rows": n, "gates": gates, "shards": nm,
+                    "seq_len": args.seq_len}
+        run_sweep("shards", shards_sweep)
 
     # the seam's runtime evidence: nothing pinned survives its sweep
     report["cache_empty"] = bool(

@@ -131,6 +131,57 @@ def shuffle_shards(
     )
 
 
+def pack_shuffled(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Shuffle + pack in one pass: every doc gets a shard (uniform
+    hash), a SHUFFLED position within the shard (independent hash —
+    :func:`shuffle_shards` semantics), and a token-tape bin computed
+    in that shuffled order — so consecutive training sequences mix the
+    corpus instead of replaying id-adjacent (i.e. crawl-adjacent)
+    documents.  This is the final shard-assembly operator a curation
+    job ends with.
+
+    Scale shape: ``row_number`` and the running token sum share ONE
+    window spec (same uniform ``shard_id`` key, same order), so
+    Catalyst plans a single exchange + sort for both — one shuffle
+    total, no join between the shuffle and the packing.
+
+    Output: (id, shard_id, pos, n_tokens, start_offset, bin_id).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    sid = F.col(id_col).cast("string")
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        (
+            sample_hash_col(sid, f"{salt}:shard") % F.lit(n_shards)
+        ).alias("shard_id"),
+        sample_hash_col(sid, f"{salt}:order").alias("order_key"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("order_key", "id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        sized.select(
+            F.col("id").alias(id_col),
+            "shard_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "n_tokens",
+            (F.sum("n_tokens").over(wcum) - F.col("n_tokens")).alias(
+                "start_offset"
+            ),
+        ).withColumn("bin_id", F.expr(f"start_offset div {int(budget)}"))
+    )
+
+
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Roll the per-doc assignment up to (group_id, bin_id): doc count,
     token sum, 4-decimal fill ratio, and whether the bin overflows the

@@ -21,7 +21,7 @@ def test_curate_job_end_to_end(tmp_path):
         [
             sys.executable, os.path.join(REPO, "jobs", "curate.py"),
             "--input", SF_DOCS, "--output", out,
-            "--sweeps", "funnel,url,paragraph",
+            "--sweeps", "funnel,url,paragraph,shards",
             "--master", "local[4]",
         ],
         cwd=REPO, capture_output=True, text=True, timeout=600,
@@ -35,7 +35,13 @@ def test_curate_job_end_to_end(tmp_path):
     # documents table carries no url column -> honest skip, not a crash
     assert report["sweeps"]["url"] == {"skipped": "no url column"}
     assert report["sweeps"]["paragraph"]["rows"] == funnel["n_total"]
-    for sub in ("funnel", "paragraph"):
+    # shard assembly gates on the funnel verdicts it just wrote and
+    # packs exactly the keepers
+    shards = report["sweeps"]["shards"]
+    assert shards["gates"] == ["funnel"]
+    assert shards["rows"] == funnel["n_keep"]
+    assert 0 < shards["shards"] <= 8
+    for sub in ("funnel", "paragraph", "shards", "shard_manifest"):
         assert os.path.isdir(os.path.join(out, sub)), sub
     # the seam: no sweep's pinned intermediates outlive the job
     assert report["cache_empty"] is True

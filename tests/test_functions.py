@@ -1231,3 +1231,35 @@ def test_shuffle_shards_is_reproducible_permutation(spark):
 
     with pytest.raises(ValueError):
         packing.shuffle_shards(df, n_shards=0)
+
+
+def test_pack_shuffled_composes_shuffle_and_packing(spark):
+    """pack_shuffled == shuffle_shards for (shard_id, pos), with the
+    token tape accumulated in that shuffled order."""
+    from smart_ocr_spark.functions import packing
+
+    rows = [(i, " ".join(["w"] * (1 + i % 9))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = {r.doc_id: r for r in packing.pack_shuffled(df, budget=32, n_shards=4).collect()}
+    shuffled = {r.doc_id: r for r in packing.shuffle_shards(df, n_shards=4).collect()}
+    assert len(packed) == 500
+    for i in packed:
+        assert (packed[i].shard_id, packed[i].pos) == (
+            shuffled[i].shard_id,
+            shuffled[i].pos,
+        )
+    # replay each shard's tape in pos order
+    by_shard: dict[int, list] = {}
+    for r in packed.values():
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for shard_rows in by_shard.values():
+        offset = 0
+        for r in sorted(shard_rows, key=lambda r: r.pos):
+            assert r.start_offset == offset
+            assert r.bin_id == offset // 32
+            offset += r.n_tokens
+
+    with pytest.raises(ValueError):
+        packing.pack_shuffled(df, budget=0, n_shards=4)
+    with pytest.raises(ValueError):
+        packing.pack_shuffled(df, budget=32, n_shards=0)

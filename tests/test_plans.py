@@ -299,3 +299,14 @@ def test_shuffle_shards_uniform_window_key(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     scans = [part.splitlines()[0] for part in plan.split("ReadSchema")[1:]]
     assert scans and all("text" not in s and "html" not in s for s in scans), scans
+
+
+def test_pack_shuffled_single_window_pass(spark):
+    """Shuffle + packing share one window spec: Catalyst must plan a
+    SINGLE Window node (one exchange+sort serves both row_number and
+    the running sum) — no join between shuffling and packing, and no
+    Python anywhere."""
+    plan = plan_of(em.q_shard_assembly(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Window") <= 2, plan  # one Window op (+ its detail line)
+    assert "Join" not in plan
