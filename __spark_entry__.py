@@ -804,6 +804,28 @@ def q_shard_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_shuffled(docs, budget=512, n_shards=16)
 
 
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span report (Lee et al. 2022 grain):
+    a shared 10-token sentence is planted on every 5th doc, so those
+    docs must report its 8-token windows as cross-doc duplicated;
+    naturally-recurring spans in the synthetic text count too."""
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" the quick brown fox jumps over"
+                      " the lazy sleeping dog"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.dup_span_report(docs, window=8)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ccnet-style corpus-wide paragraph dedup: every doc gets a planted
     shared boilerplate paragraph appended — after dedup exactly ONE doc
@@ -1498,6 +1520,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "c4_filters": q_c4_filters,
         "shuffle_shards": q_shuffle_shards,
         "shard_assembly": q_shard_assembly,
+        "dup_span_report": q_dup_span_report,
     }
 
 
@@ -1525,6 +1548,7 @@ _ROTATED_TO_EXTRA = (
     "c4_filters",
     "shuffle_shards",
     "shard_assembly",
+    "dup_span_report",
 )
 
 
@@ -3043,6 +3067,33 @@ cum AS (SELECT doc_id, shard_id, n_tokens,
 SELECT doc_id, shard_id, pos, n_tokens, start_offset,
   CAST(start_offset // 512 AS BIGINT) AS bin_id
 FROM cum
+""",
+        # Exact-substring duplicate spans (8-token windows, stride 1):
+        # the oracle groups by the span TEXT where Spark groups by
+        # xxhash64(span) — identical modulo 2^-64 collisions
+        "dup_span_report": f"""
+WITH p AS (SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+      THEN ' the quick brown fox jumps over the lazy sleeping dog'
+      ELSE '' END AS text
+  FROM documents),
+t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM p),
+s0 AS (SELECT doc_id, toks,
+    unnest(generate_series(1, len(toks) - 8 + 1)) AS i
+  FROM t),
+s AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span FROM s0),
+d AS (SELECT span, doc_id, count(*) AS occ FROM s GROUP BY 1, 2),
+g AS (SELECT span, count(*) AS n_docs FROM d GROUP BY 1),
+r AS (SELECT d.doc_id,
+    sum(d.occ) AS n_spans,
+    sum(CASE WHEN g.n_docs >= 2 THEN d.occ ELSE 0 END) AS n_dup_spans
+  FROM d JOIN g USING (span) GROUP BY 1)
+SELECT p.doc_id,
+  CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(r.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  round(CASE WHEN coalesce(r.n_spans, 0) > 0
+        THEN r.n_dup_spans / r.n_spans ELSE 0.0 END, 4) AS dup_span_frac
+FROM p LEFT JOIN r USING (doc_id)
 """,
     }
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from smart_ocr_spark.functions.cache import pin
+from smart_ocr_spark.functions.text_analysis import tokens_col
 
 N_MINHASH = 8  # signature length
 N_BANDS = 2  # LSH bands (4 rows per band)
@@ -419,6 +420,119 @@ def line_dedup_within_doc(
         F.size(lines).cast("bigint").alias("n_lines"),
         F.size(kept).cast("bigint").alias("n_kept"),
         F.array_join(kept, "\n").alias("cleaned_text"),
+    )
+
+
+def dup_span_report(
+    df: DataFrame,
+    window: int = 8,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication report at the token-window grain —
+    the dedup unit of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): a span of ``window`` consecutive
+    tokens that recurs VERBATIM across documents is memorization fuel
+    that paragraph- and doc-grain dedup both miss (the paper uses
+    50-token spans via a suffix array; a distributed engine gets the
+    same signal from sliding-window hashing).  Reference corpus ops:
+    `/root/reference/src` has no corpus-scale analog — this is part of
+    the LLM-pipeline surface the reference lacks.
+
+    Per document: how many of its token windows (start positions
+    ``1, 1+stride, ...``) also occur in at least one OTHER document,
+    and what fraction of its windows that is.  ``stride`` trades
+    explode volume for resolution (stride=window//2 halves the shuffle
+    at ≥50% span-overlap detection; the paper's grain is stride 1).
+
+    Scale shape (all JVM, three shuffles, no hot key anywhere):
+      1. explode windows map-side, keyed by 8-byte ``xxhash64(span)``
+         — the multi-word span text never rides a shuffle;
+      2. ``groupBy(shash, id)`` occurrence counts — partial aggs
+         absorb within-doc repetition map-side;
+      3. ``groupBy(shash)`` distinct-doc counts over that — partial
+         aggs absorb cross-doc repetition, so a corpus-wide
+         boilerplate span reaches its reducer as O(#map partitions)
+         rows, the `paragraph_dedup` keeper discipline;
+      4. verdict joins back to the (shash, id) grain on the fixed-
+         width hash — the hottest key's probe side is ≤1 row per doc
+         (stage-2 pre-aggregation), the fact-to-dim shape AQE
+         skew-join splits if a span really is in most of the corpus;
+      5. ``groupBy(id)`` rollup to the report row.
+    Collision trade: two distinct spans sharing an xxhash64 (p ~
+    2^-64 per pair) would merge — same accepted trade as every
+    hash-keyed exact tier here.
+
+    Output: (id, n_spans, n_dup_spans, dup_span_frac) — one row per
+    input doc; docs shorter than ``window`` tokens report (0, 0, 0.0).
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = tokens_col(F.col(text_col))
+    # the explicit isnotnull mirrors what the final left join infers
+    # onto ONE consumer of this subplan — stating it here keeps both
+    # consumers byte-identical so ReuseExchange can fire (below)
+    tokd = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col), toks.alias("toks")
+    )
+    n = F.size("toks")
+    # sequence() flips to a descending step when stop < start — guard
+    # short docs to an empty window list explicitly
+    starts = F.when(
+        n >= window,
+        F.sequence(F.lit(1), n - window + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = tokd.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("toks", i, window), " ")
+                ),
+            )
+        ).alias("shash"),
+    )
+    per_doc_span = spans.groupBy("shash", id_col).agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    # counting rows WHERE occ >= 1 (always true) instead of count(1)
+    # keeps `occ` referenced in this branch, so the two consumers of
+    # per_doc_span compile to IDENTICAL subplans and ReuseExchange
+    # computes the explode + first aggregation ONCE — without it,
+    # column pruning diverges the plans and the corpus is exploded
+    # twice (plan-asserted in tests/test_plans.py)
+    span_stats = per_doc_span.groupBy("shash").agg(
+        F.sum((F.col("occ") >= 1).cast("long")).alias("n_docs")
+    )
+    flagged = per_doc_span.join(span_stats, "shash").select(
+        F.col(id_col),
+        F.col("occ"),
+        (F.col("n_docs") >= 2).cast("long").alias("is_dup"),
+    )
+    report = flagged.groupBy(id_col).agg(
+        F.sum("occ").alias("n_spans"),
+        F.sum(F.col("is_dup") * F.col("occ")).alias("n_dup_spans"),
+    )
+    # docs shorter than the window produce zero spans but must appear
+    return (
+        df.select(id_col)
+        .join(report, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.col("n_dup_spans") / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_span_frac"),
+        )
     )
 
 

@@ -1263,3 +1263,76 @@ def test_pack_shuffled_composes_shuffle_and_packing(spark):
         packing.pack_shuffled(df, budget=0, n_shards=4)
     with pytest.raises(ValueError):
         packing.pack_shuffled(df, budget=32, n_shards=0)
+
+
+def test_dup_span_report_counts(spark):
+    """Hand-built corpus: docs 1 and 2 share an 8-token sentence
+    (every window of it is duplicated), doc 3 is unique, doc 4 is
+    shorter than the window and must report zeros."""
+    from smart_ocr_spark.functions import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " one two three"),          # 4 windows, 1 dup
+        (2, "x y " + shared),                    # 3 windows, 1 dup
+        (3, "a b c d e f g h i j"),              # 3 windows, 0 dup
+        (4, "too short"),                        # no window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dup_span_report(df, window=8).collect()}
+    assert len(out) == 4
+    assert (out[1].n_spans, out[1].n_dup_spans) == (4, 1)
+    assert (out[2].n_spans, out[2].n_dup_spans) == (3, 1)
+    assert (out[3].n_spans, out[3].n_dup_spans) == (3, 0)
+    assert (out[4].n_spans, out[4].n_dup_spans, out[4].dup_span_frac) == (
+        0, 0, 0.0,
+    )
+    assert out[1].dup_span_frac == 0.25
+
+    with pytest.raises(ValueError):
+        dedup.dup_span_report(df, window=0)
+    with pytest.raises(ValueError):
+        dedup.dup_span_report(df, window=8, stride=0)
+
+
+def test_dup_span_report_corpus_wide_boilerplate(spark):
+    """Adversarial hot key: the SAME 8-token span in every one of 2000
+    docs (the worst case for any keeper/verdict shuffle). The report
+    must still be exact — every doc's single window is duplicated —
+    and within-doc repetition must count every occurrence."""
+    from smart_ocr_spark.functions import dedup
+
+    span = "all rights reserved by the site owner today"  # 8 tokens
+    rows = [(i, span) for i in range(2000)]
+    rows.append((9999, span + " " + span))  # 9 extra windows, all dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.dup_span_report(df, window=8)
+    agg = out.groupBy().sum("n_spans", "n_dup_spans").first()
+    assert agg["sum(n_spans)"] == 2000 + 9
+    # the doubled doc's cross-boundary windows each appear only in it,
+    # but the boundary windows recur WITHIN the doc pair-wise? No —
+    # each boundary window is unique, yet occurs once in one doc only,
+    # so exactly the pure spans are duplicated: 2000 + 2 occurrences
+    doubled = {r.doc_id: r for r in out.collect()}[9999]
+    assert doubled.n_spans == 9
+    assert doubled.n_dup_spans == 2  # windows 1 and 9 == the span
+    assert all(
+        r.n_dup_spans == 1 for r in out.collect() if r.doc_id != 9999
+    )
+
+
+def test_dup_span_report_stride(spark):
+    """stride=4 keeps only starts 1,5,9,...: span counts shrink but
+    the duplicated verdict stays exact on the sampled windows."""
+    from smart_ocr_spark.functions import dedup
+
+    text = " ".join(f"w{i}" for i in range(16))  # 16 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           dedup.dup_span_report(df, window=8, stride=4).collect()}
+    # starts 1, 5, 9 -> 3 windows per doc, all shared
+    for i in (1, 2):
+        assert (out[i].n_spans, out[i].n_dup_spans) == (3, 3)
+        assert out[i].dup_span_frac == 1.0

@@ -310,3 +310,22 @@ def test_pack_shuffled_single_window_pass(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Window") <= 2, plan  # one Window op (+ its detail line)
     assert "Join" not in plan
+
+
+def test_dup_span_report_jvm_only_hashed_keys(spark):
+    """The span stream is all JVM (no Arrow/Python eval); shuffles for
+    the occurrence/verdict aggs are keyed by the 8-byte xxhash64, and
+    the span text itself never appears in a shuffle key."""
+    df = em.q_dup_span_report(spark, SF)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the occurrence agg and the verdict agg consume the SAME
+    # explode subplan: AQE must reuse the exchange at runtime so the
+    # corpus is tokenized + exploded ONCE (the isnotnull + occ>=1
+    # construction in dup_span_report exists for exactly this)
+    qe = df._jdf.queryExecution()
+    df.toPandas()
+    final = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    assert "ReusedExchange" in final, final
