@@ -878,6 +878,44 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH incremental near-dup tier (the near-dup analog of
+    the Bloom exact tier): docs with doc_id % 3 == 0 are the arriving
+    dump, the rest are history.  Every 6th doc's text is replaced by
+    its successor doc's text plus a short suffix — a planted NEAR-dup
+    of a history doc that LSH must catch and verification must confirm
+    (short donors fall below the 0.8 Jaccard floor and survive, so
+    both branches of the verify step are exercised)."""
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    donors = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("donor_text"),
+    )
+    new = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .join(donors, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 6 == 0) & F.col("donor_text").isNotNull(),
+                F.concat(
+                    F.col("donor_text"), F.lit(" incremental dump suffix")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    hist = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    kept = dedup.minhash_incremental_new_docs(new, hist, threshold=0.8)
+    return kept.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host curation rollup over the planted URLs: raw docs vs
     distinct canonical URLs vs dedup survivors (the host-grain
@@ -1521,6 +1559,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "shuffle_shards": q_shuffle_shards,
         "shard_assembly": q_shard_assembly,
         "dup_span_report": q_dup_span_report,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
     }
 
 
@@ -1549,6 +1588,7 @@ _ROTATED_TO_EXTRA = (
     "shuffle_shards",
     "shard_assembly",
     "dup_span_report",
+    "dedup_minhash_incremental",
 )
 
 
@@ -3094,6 +3134,58 @@ SELECT p.doc_id,
   round(CASE WHEN coalesce(r.n_spans, 0) > 0
         THEN r.n_dup_spans / r.n_spans ELSE 0.0 END, 4) AS dup_span_frac
 FROM p LEFT JOIN r USING (doc_id)
+""",
+        # Incremental MinHash near-dup: dump (doc_id%3==0, every 6th
+        # doc a planted near-dup of its successor history doc) vs
+        # history; keep = no LSH candidate verifies at Jaccard >= 0.8.
+        # Mirrors the md5 signature/band family of dedup_minhash.
+        "dedup_minhash_incremental": f"""
+WITH nd AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 6 = 0 AND d2.text IS NOT NULL
+         THEN d2.text || ' incremental dump suffix'
+         ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 3 = 0),
+hd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+corpus AS (SELECT doc_id, text, TRUE AS is_new FROM nd
+  UNION ALL SELECT doc_id, text, FALSE AS is_new FROM hd),
+sh AS (SELECT doc_id, is_new, unnest(list_distinct(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t) - 2),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+    ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, is_new, {_TOKS_SQL} AS t FROM corpus)),
+sig AS (SELECT doc_id, is_new,
+    {", ".join(f"min(md5(concat('{s}:', shingle))) AS sig_{s}" for s in range(8))}
+  FROM sh GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, is_new,
+         concat('0:', md5(concat(sig_0, sig_1, sig_2, sig_3))) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id, is_new,
+         concat('1:', md5(concat(sig_4, sig_5, sig_6, sig_7))) AS bucket
+  FROM sig),
+cands AS (SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM bands n JOIN bands h
+    ON n.bucket = h.bucket AND n.is_new AND NOT h.is_new),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+    count(*) AS shared
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.is_new AND NOT b.is_new
+  GROUP BY 1, 2),
+dups AS (SELECT DISTINCT s.new_id
+  FROM shared s
+  JOIN cands c ON c.new_id = s.new_id AND c.hist_id = s.hist_id
+  JOIN cnt ca ON ca.doc_id = s.new_id
+  JOIN cnt cb ON cb.doc_id = s.hist_id
+  WHERE round(s.shared / CAST(ca.n_sh + cb.n_sh - s.shared AS DOUBLE), 4)
+        >= 0.8)
+SELECT n.doc_id, CAST(len(n.text) AS BIGINT) AS n_chars
+FROM nd n LEFT JOIN dups ON dups.new_id = n.doc_id
+WHERE dups.new_id IS NULL
 """,
     }
 

@@ -246,17 +246,26 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
-def lsh_candidate_pairs(
+def _band_buckets(
     sig: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Docs sharing any band bucket. Shuffle keyed by band value; the
-    per-bucket fan-in is what bounds the pair explosion at scale."""
+    """(id, bucket) rows: one per band, the band index prefixed so
+    bucket values never collide across bands."""
     buckets = None
     for b in range(n_bands):
         part = sig.select(
             F.col(id_col), F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")).alias("bucket")
         )
         buckets = part if buckets is None else buckets.unionByName(part)
+    return buckets
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Docs sharing any band bucket. Shuffle keyed by band value; the
+    per-bucket fan-in is what bounds the pair explosion at scale."""
+    buckets = _band_buckets(sig, id_col, n_bands)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -292,6 +301,98 @@ def minhash_dedup_pairs(
     return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+def minhash_incremental_new_docs(
+    new: DataFrame,
+    seen: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_sig: DataFrame | None = None,
+    bucket_cap: int = 2048,
+) -> DataFrame:
+    """Incremental NEAR-dup tier: keep only the new-dump docs with no
+    verified near-duplicate in the accepted history — the MinHash/LSH
+    analog of :func:`bloom.incremental_new_keys` (exact grain).  This
+    is the other half of the Dolma/ccnet ingestion shape: each arriving
+    crawl dump dedups against everything already kept, without ever
+    joining history against itself.
+
+    Scale design:
+      * history signatures are a PER-EPOCH artifact — pass the stored
+        signature table as ``seen_sig`` and each arriving dump only
+        signs ITSELF (map-only hashlib inside Arrow batches), then
+        band-joins against the stored buckets;
+      * the band join is dump-side × matching history buckets, keyed
+        by the band hash; history-side fan-in is bounded by
+        ``_cap_bucket_fanin`` (a history bucket holding >cap docs
+        keeps ``cap`` of them — ONE surviving verified match already
+        marks the new doc as a dup, so recall only degrades if every
+        kept neighbor fails verification; drops are logged);
+      * exact-Jaccard verification runs on candidate pairs only, with
+        both shingle streams semi-joined down to candidate ids first.
+
+    Returns the kept ``new`` rows (all original columns).
+    """
+    from smart_ocr_spark.functions.similarity import _cap_bucket_fanin
+
+    sig_new = pin(minhash_signatures(new, id_col, text_col))
+    if seen_sig is None:
+        seen_sig = minhash_signatures(seen, id_col, text_col)
+    sig_seen = pin(seen_sig)
+    nb = _band_buckets(sig_new, id_col)
+    hb = _band_buckets(sig_seen, id_col)
+    hb, _dropped = _cap_bucket_fanin(
+        hb, id_col, bucket_cap, "minhash_incremental history side"
+    )
+    cands = pin(
+        nb.join(hb.withColumnRenamed(id_col, "hist_id"), "bucket")
+        .select(F.col(id_col).alias("new_id"), "hist_id")
+        .distinct()
+    )
+    new_c = new.join(
+        cands.select(F.col("new_id").alias(id_col)), id_col, "left_semi"
+    )
+    seen_c = seen.join(
+        cands.select(F.col("hist_id").alias(id_col)), id_col, "left_semi"
+    )
+    sh_n = exploded_shingles(new_c, id_col, text_col)
+    sh_h = exploded_shingles(seen_c, id_col, text_col)
+    shared = (
+        sh_n.select(F.col(id_col).alias("new_id"), "shingle")
+        .join(
+            sh_h.select(F.col(id_col).alias("hist_id"), "shingle"), "shingle"
+        )
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        # the shingle join can surface non-candidate pairs — only the
+        # LSH candidates count (mirrors minhash_dedup_pairs semantics)
+        .join(cands, ["new_id", "hist_id"], "left_semi")
+    )
+    cnt_n = sh_n.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
+    cnt_h = sh_h.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hist"))
+    dup_new_ids = (
+        shared.join(
+            cnt_n.select(F.col(id_col).alias("new_id"), "n_new"), "new_id"
+        )
+        .join(
+            cnt_h.select(F.col(id_col).alias("hist_id"), "n_hist"), "hist_id"
+        )
+        .where(
+            F.round(
+                F.col("shared")
+                / (F.col("n_new") + F.col("n_hist") - F.col("shared")).cast(
+                    "double"
+                ),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(dup_new_ids, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -1336,3 +1336,71 @@ def test_dup_span_report_stride(spark):
     for i in (1, 2):
         assert (out[i].n_spans, out[i].n_dup_spans) == (3, 3)
         assert out[i].dup_span_frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH incremental near-dup tier
+# ---------------------------------------------------------------------------
+
+
+def _incr_corpus(spark):
+    """History of long distinct docs; a new dump with (a) a near-dup of
+    a history doc (long shared body + tiny suffix -> Jaccard >= 0.8),
+    (b) an exact copy, (c) a SHORT doc sharing a short body (falls
+    below the 0.8 floor -> must survive), (d) fresh docs."""
+    body = lambda i: " ".join(f"tok{i}w{j}" for j in range(30))
+    hist = [(i, body(i)) for i in range(20)]
+    hist.append((20, "tiny shared body here"))
+    new = [
+        (100, body(3) + " small suffix"),          # near-dup -> drop
+        (101, body(7)),                            # exact -> drop
+        (102, "tiny shared body here and extra trailing words beyond"),
+        (103, " ".join(f"fresh{j}" for j in range(25))),  # fresh -> keep
+        (104, " ".join(f"novel{j}" for j in range(25))),  # fresh -> keep
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(new), mk(hist)
+
+
+def test_minhash_incremental_semantics(spark):
+    """Verified near-dups of history are dropped; short sub-threshold
+    overlaps and fresh docs survive."""
+    new, hist = _incr_corpus(spark)
+    kept = {
+        r.doc_id
+        for r in dedup.minhash_incremental_new_docs(new, hist).collect()
+    }
+    assert 100 not in kept and 101 not in kept
+    assert {102, 103, 104} <= kept
+    spark.catalog.clearCache()
+
+
+def test_minhash_incremental_stored_signatures(spark):
+    """Passing the per-epoch stored history signature table must give
+    byte-identical survivors to signing history inline — the artifact
+    reuse path a rolling crawl ingestion depends on."""
+    new, hist = _incr_corpus(spark)
+    inline = sorted(
+        r.doc_id
+        for r in dedup.minhash_incremental_new_docs(new, hist).collect()
+    )
+    stored = dedup.minhash_signatures(hist)
+    reused = sorted(
+        r.doc_id
+        for r in dedup.minhash_incremental_new_docs(
+            new, hist, seen_sig=stored
+        ).collect()
+    )
+    assert inline == reused
+    spark.catalog.clearCache()
+
+
+def test_minhash_incremental_empty_history(spark):
+    """No history -> every new doc survives with columns intact."""
+    new, hist = _incr_corpus(spark)
+    out = dedup.minhash_incremental_new_docs(
+        new, hist.where(F.lit(False))
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [100, 101, 102, 103, 104]
+    assert out.columns == new.columns
+    spark.catalog.clearCache()
