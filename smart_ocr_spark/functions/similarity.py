@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import math
 
 import numpy as np
 import pandas as pd
@@ -58,6 +59,18 @@ def _cap_bucket_fanin(
     emit no pair at all and silently escape dedup; with the largest
     kept, every row either pairs upward into the kept set or IS in the
     kept set and receives pairs from below.
+
+    The cut itself is skew-safe (the keeper-selection fix shape): a
+    single ``Window.partitionBy("bucket")`` would put EVERY row of the
+    degenerate bucket — the exact pathology this guard exists for — on
+    one task.  Instead, when the cap engages, rows are salted by
+    ``xxhash64(id)`` into ``ceil(sqrt(max_bucket_n / cap))`` cells, the
+    per-cell top-``cap`` is cut first, and only then does the per-bucket
+    window run — over a frame provably ≤ ``n_salts·cap`` rows per
+    bucket.  Both stages are ~``sqrt(max_bucket_n·cap)``-bounded.  The
+    kept set is byte-identical to the single-window cut: every global
+    top-``cap`` id is top-``cap`` within its salt cell, so stage 1 never
+    discards a survivor.
     """
     over = (
         bucketed.groupBy("bucket")
@@ -66,6 +79,7 @@ def _cap_bucket_fanin(
         .agg(
             F.count(F.lit(1)).alias("n_over"),
             F.sum(F.col("__bn") - cap).alias("dropped"),
+            F.max("__bn").alias("max_bn"),
         )
         .first()
     )
@@ -79,9 +93,21 @@ def _cap_bucket_fanin(
         what, int(over["n_over"]), cap, dropped,
     )
     order = F.desc(id_col) if desc else F.asc(id_col)
+    n_salts = int(math.ceil(math.sqrt(int(over["max_bn"]) / cap)))
+    pruned = bucketed
+    if n_salts > 1:
+        w1 = Window.partitionBy("bucket", "__salt").orderBy(order)
+        pruned = (
+            bucketed.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+            )
+            .withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn", "__salt")
+        )
     w = Window.partitionBy("bucket").orderBy(order)
     capped = (
-        bucketed.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )

@@ -1404,3 +1404,37 @@ def test_minhash_incremental_empty_history(spark):
     assert sorted(r.doc_id for r in out.collect()) == [100, 101, 102, 103, 104]
     assert out.columns == new.columns
     spark.catalog.clearCache()
+
+
+def test_cap_bucket_fanin_two_stage_byte_identical(spark):
+    """The skew-safe salted cut must keep EXACTLY the cap smallest
+    (resp. largest) ids of a degenerate bucket — byte-identical to the
+    single-window semantics — while small buckets pass untouched."""
+    from smart_ocr_spark.functions.similarity import _cap_bucket_fanin
+
+    rows = [(i, "hot") for i in range(5000)] + [
+        (10_000 + i, "cold") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, bucket string")
+    for desc in (False, True):
+        capped, dropped = _cap_bucket_fanin(df, "vec_id", 50, "t", desc=desc)
+        got = sorted(
+            r.vec_id for r in capped.where("bucket = 'hot'").collect()
+        )
+        want = sorted(range(4950, 5000) if desc else range(50))
+        assert got == want, (desc, got[:5], got[-5:])
+        assert dropped == 4950
+        # the cold bucket is under the cap: every row survives
+        assert capped.where("bucket = 'cold'").count() == 10
+
+
+def test_cap_bucket_fanin_fast_path_untouched(spark):
+    """No oversized bucket -> the input frame is returned as-is (the
+    join plan must stay identical to the unguarded one)."""
+    from smart_ocr_spark.functions.similarity import _cap_bucket_fanin
+
+    df = spark.createDataFrame(
+        [(i, f"b{i % 7}") for i in range(100)], "vec_id long, bucket string"
+    )
+    capped, dropped = _cap_bucket_fanin(df, "vec_id", 50, "t")
+    assert dropped == 0 and capped is df
