@@ -916,6 +916,53 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) image near-dup over the REAL
+    raw-grayscale decode path: each doc's payload is its first 64
+    printable-ASCII chars as an 8×8 pixel grid; every 4th doc instead
+    carries its successor doc's grid with the last pixel replaced — a
+    planted 1-pixel perturbation the aHash Hamming join must surface.
+    Pairs via the shared SimHash pigeonhole chunk-blocking core (no N²
+    self-join); payloads never shuffle, only the 64-bit hash does."""
+    from smart_ocr_spark.functions import multimodal
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.rpad(
+            F.substring(
+                F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 64
+            ),
+            64,
+            "x",
+        ).alias("img"),
+    )
+    donors = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("img").alias("donor_img")
+    )
+    media = (
+        docs.join(donors, "doc_id", "left")
+        .select(
+            F.concat(F.lit("img://"), F.col("doc_id")).alias("url"),
+            F.encode(
+                F.when(
+                    (F.col("doc_id") % 4 == 0) & F.col("donor_img").isNotNull(),
+                    F.concat(F.substring(F.col("donor_img"), 1, 63), F.lit("|")),
+                ).otherwise(F.col("img")),
+                "UTF-8",
+            ).alias("payload"),
+        )
+    )
+    pairs = multimodal.image_ahash_near_pairs(
+        media, max_hamming=8, decoder="raw"
+    )
+    return pairs.select(
+        F.col("doc_a").alias("url_a"),
+        F.col("doc_b").alias("url_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host curation rollup over the planted URLs: raw docs vs
     distinct canonical URLs vs dedup survivors (the host-grain
@@ -1560,6 +1607,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "shard_assembly": q_shard_assembly,
         "dup_span_report": q_dup_span_report,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "media_ahash_neardup": q_media_ahash_neardup,
     }
 
 
@@ -1589,6 +1637,7 @@ _ROTATED_TO_EXTRA = (
     "shard_assembly",
     "dup_span_report",
     "dedup_minhash_incremental",
+    "media_ahash_neardup",
 )
 
 
@@ -3186,6 +3235,50 @@ dups AS (SELECT DISTINCT s.new_id
 SELECT n.doc_id, CAST(len(n.text) AS BIGINT) AS n_chars
 FROM nd n LEFT JOIN dups ON dups.new_id = n.doc_id
 WHERE dups.new_id IS NULL
+""",
+        # Average-hash image near-dup over the raw-grayscale decode
+        # path: pixel i = byte i of the 64-char printable-ASCII grid,
+        # bit i set iff pixel >= the exact float mean (sum/64.0 is
+        # exact in double), 64 bits packed little-endian-by-bit into a
+        # signed bigint, then the 4x16-bit pigeonhole chunk join.
+        "media_ahash_neardup": """
+WITH g AS (
+  SELECT doc_id,
+    rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64), 64, 'x')
+      AS img
+  FROM documents),
+pay AS (
+  SELECT a.doc_id,
+    CASE WHEN a.doc_id % 4 = 0 AND d.img IS NOT NULL
+         THEN substr(d.img, 1, 63) || '|' ELSE a.img END AS p
+  FROM g a LEFT JOIN g d ON d.doc_id = a.doc_id + 1),
+px AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, 64), i -> ascii(p[i])) AS pix
+  FROM pay),
+hv AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CASE WHEN pix[i] >= list_sum(pix) / 64.0
+                THEN 1::HUGEINT << (i - 1) ELSE 0::HUGEINT END)) AS v
+  FROM px),
+sh AS (
+  SELECT 'img://' || doc_id AS url,
+    CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+              THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+      AS ahash64,
+    v
+  FROM hv),
+chunks AS (
+  SELECT url, ahash64, c, (v >> (c * 16)) & 65535::HUGEINT AS chunk
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+pairs AS (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b,
+         a.ahash64 AS ha, b.ahash64 AS hb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.url < b.url)
+SELECT url_a, url_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
 """,
     }
 

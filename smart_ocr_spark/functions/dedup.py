@@ -750,23 +750,43 @@ def simhash_near_pairs(
     # inside functions.cache.cache_scope() (the multi-sweep seam);
     # spark.catalog.clearCache() remains the blunt fallback.
     hashed = pin(with_simhash64(df, text_col).select(id_col, "simhash64"))
+    return hash64_near_pairs(
+        hashed, "simhash64", id_col, max_hamming, bucket_cap,
+        "simhash_near_pairs",
+    )
+
+
+def hash64_near_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    bucket_cap: int,
+    what: str,
+) -> DataFrame:
+    """Near-pairs of any 64-bit locality hash (SimHash, image aHash, …)
+    by pigeonhole chunk blocking: any pair within Hamming ≤ 3 of 64
+    bits shares at least one exact 16-bit chunk, so block on the 4
+    chunks, join per chunk, verify with ``bit_count``.  Neighbor-side
+    fan-in capped (largest ids kept; pair filter is ``a < b``).
+    ``hashed`` must hold one row per id with ``hash_col`` as bigint."""
+    from smart_ocr_spark.functions.similarity import _cap_bucket_fanin
+
     chunks = None
     for c in range(4):
         part = hashed.select(
             F.col(id_col),
-            F.col("simhash64"),
+            F.col(hash_col),
             F.expr(
-                f"concat('{c}:', cast((shiftrightunsigned(simhash64, {c * 16})"
+                f"concat('{c}:', cast((shiftrightunsigned({hash_col}, {c * 16})"
                 " & cast(65535 as bigint)) as string))"
             ).alias("bucket"),
         )
         chunks = part if chunks is None else chunks.unionByName(part)
     # persist: the cap's bucket-size probe + both join sides consume the
-    # 4-branch union — unpersisted, the simhash UDF pass would re-run
+    # 4-branch union — unpersisted, the hashing pass would re-run
     chunks = pin(chunks)
-    nbr, _ = _cap_bucket_fanin(
-        chunks, id_col, bucket_cap, "simhash_near_pairs", desc=True
-    )
+    nbr, _ = _cap_bucket_fanin(chunks, id_col, bucket_cap, what, desc=True)
     a = chunks.alias("a")
     b = nbr.alias("b")
     return (
@@ -776,7 +796,7 @@ def simhash_near_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .distinct()

@@ -224,3 +224,120 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, fake: bool = True) ->
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average hash) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("ahash64", LongType()),
+    ]
+)
+
+
+def decode_raw_gray(payload: bytes | None, grid: int = 8) -> np.ndarray:
+    """REAL decoder for raw 8-bit grayscale bitmaps: the payload bytes
+    ARE the pixels (zero-padded / truncated to ``grid²``).  Needs no
+    codec, so unlike the png/jpeg seam this path is genuinely live in
+    this container — sensor dumps, thumbnails-as-raw, and the synthetic
+    corpora all ride it."""
+    buf = np.frombuffer((payload or b"")[: grid * grid], dtype=np.uint8)
+    if len(buf) < grid * grid:
+        buf = np.pad(buf, (0, grid * grid - len(buf)))
+    return buf.reshape(grid, grid)
+
+
+def _fake_gray(payload: bytes | None, grid: int = 8) -> np.ndarray:
+    """Deterministic stand-in for codec decode (png/jpeg → pixels):
+    sha256-expanded bytes as the grayscale grid.  Exercises the exact
+    schema/batch path the real decoder would; locality of the SOURCE
+    bytes is not preserved (a hash can't), which is precisely why it is
+    a stub and not a decoder."""
+    n = grid * grid
+    out = bytearray()
+    counter = 0
+    h = payload or b""
+    while len(out) < n:
+        out += hashlib.sha256(h + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8).reshape(grid, grid)
+
+
+def _ahash64(gray: np.ndarray) -> int:
+    """Average hash of an 8×8 grayscale grid: bit i set iff pixel i ≥
+    the grid mean.  The mean of 64 uint8s is exact in float64 (sum ≤
+    64·255, /64 is a power-of-two division), so the threshold — and
+    therefore every bit — is deterministic across platforms."""
+    flat = gray.reshape(-1).astype(np.float64)
+    bits = flat >= flat.mean()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.view(np.int64) if hasattr(v, "view") else v)
+
+
+def image_ahash64(
+    df: DataFrame,
+    grid: int = 8,
+    decoder="raw",
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(url, ahash64) via mapInPandas — map-only, payloads never
+    shuffle; only the hash rides downstream.  ``decoder``: ``"raw"``
+    (real raw-grayscale path), ``"fake"`` (codec seam stand-in), or a
+    callable ``bytes -> np.ndarray`` to plug a real PIL decode in."""
+    if decoder == "raw":
+        dec = lambda b: decode_raw_gray(b, grid)  # noqa: E731
+    elif decoder == "fake":
+        dec = lambda b: _fake_gray(b, grid)  # noqa: E731
+    elif callable(decoder):
+        dec = decoder
+    else:
+        raise ValueError(f"decoder must be 'raw', 'fake', or callable: {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "ahash64": pd.array(
+                        [_ahash64(dec(b)) for b in pdf[payload_col]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_ahash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    grid: int = 8,
+    decoder="raw",
+    url_col: str = "url",
+    payload_col: str = "payload",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance — the
+    image-grain member of the near-dup family, sharing the SimHash
+    pigeonhole chunk-blocking core (4×16-bit chunk join + bit_count
+    verify + capped fan-in) instead of an N² self-join."""
+    from smart_ocr_spark.functions.cache import pin
+    from smart_ocr_spark.functions.dedup import hash64_near_pairs
+    from smart_ocr_spark.functions.similarity import BUCKET_FANIN_CAP
+
+    if bucket_cap is None:
+        bucket_cap = BUCKET_FANIN_CAP
+    hashed = pin(
+        image_ahash64(df, grid, decoder, url_col, payload_col)
+    )
+    return hash64_near_pairs(
+        hashed, "ahash64", "url", max_hamming, bucket_cap,
+        "image_ahash_near_pairs",
+    )

@@ -1438,3 +1438,77 @@ def test_cap_bucket_fanin_fast_path_untouched(spark):
     )
     capped, dropped = _cap_bucket_fanin(df, "vec_id", 50, "t")
     assert dropped == 0 and capped is df
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash) near-dup
+# ---------------------------------------------------------------------------
+
+
+def _raw_media(spark):
+    """Raw 8-bit grayscale bitmaps: a base gradient image, a 1-pixel
+    perturbation of it (near-dup), an unrelated noise image, and a
+    short payload exercising the zero-pad path."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = bytes(range(64))
+    near = bytes([40]) + base[1:]
+    noise = bytes(rng.randint(0, 256, 64, dtype=np.uint8).tolist())
+    rows = [
+        ("img://base", "image", base),
+        ("img://near", "image", near),
+        ("img://noise", "image", noise),
+        ("img://short", "image", b"\x01\x02"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, media_type string, payload binary"
+    )
+
+
+def test_image_ahash64_real_raw_path(spark):
+    """The raw-grayscale decoder is REAL: hashes must equal the numpy
+    reference computed outside Spark, byte for byte."""
+    import numpy as np
+
+    df = _raw_media(spark)
+    got = {r.url: r.ahash64 for r in multimodal.image_ahash64(df).collect()}
+    for r in df.collect():
+        grid = multimodal.decode_raw_gray(bytes(r.payload))
+        assert got[r.url] == multimodal._ahash64(grid), r.url
+    # 1-pixel perturbation: small hamming vs base, noise is far
+    h = lambda a, b: bin((got[a] ^ got[b]) & (2**64 - 1)).count("1")
+    assert h("img://base", "img://near") <= 3
+    assert h("img://base", "img://noise") > 8
+
+
+def test_image_ahash_near_pairs_blocking(spark):
+    """Near-dup pairs surface through the chunk-blocked join; the
+    unrelated image pairs with nothing."""
+    pairs = multimodal.image_ahash_near_pairs(
+        _raw_media(spark), max_hamming=3
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert ("img://base", "img://near") in got
+    assert not any("noise" in a or "noise" in b for a, b in got)
+    spark.catalog.clearCache()
+
+
+def test_image_ahash_decoder_seam(spark):
+    """decoder='fake' runs the codec-seam stand-in (real plumbing,
+    deterministic output); a callable plugs in a custom decode; a bad
+    decoder raises."""
+    import numpy as np
+
+    df = _raw_media(spark)
+    fake = {r.url: r.ahash64 for r in
+            multimodal.image_ahash64(df, decoder="fake").collect()}
+    fake2 = {r.url: r.ahash64 for r in
+             multimodal.image_ahash64(df, decoder="fake").collect()}
+    assert fake == fake2 and len(fake) == 4  # deterministic
+    flip = lambda b: 255 - multimodal.decode_raw_gray(b)
+    inv = {r.url: r.ahash64 for r in
+           multimodal.image_ahash64(df, decoder=flip).collect()}
+    assert set(inv) == set(fake)
+    with pytest.raises(ValueError):
+        multimodal.image_ahash64(df, decoder="png")
