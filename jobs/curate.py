@@ -23,6 +23,16 @@ row counts, durations, and ``cache_empty`` — the runtime evidence the
 seam worked, mirroring the pytest pin.
 
 Sweeps (each skippable; each writes parquet under --output):
+  ingest     — dump-vs-history ingestion pair (needs --history, the
+               accepted-corpus parquet): the Bloom EXACT tier drops
+               rows whose text already exists in history
+               (functions/bloom.incremental_new_keys — output exactly
+               the anti-join), then the MinHash NEAR-dup tier drops
+               rows with a verified near-duplicate in history
+               (functions/dedup.minhash_incremental_new_docs —
+               history never self-joins; dump-side signatures only).
+               Survivors become the working set for every later sweep,
+               so a rolling crawl re-curates only genuinely-new docs.
   funnel     — quality floor + Gopher repetition + exact-content dedup
                per-doc verdicts (functions/curation.curation_funnel)
                plus the stage-survival report.
@@ -73,6 +83,9 @@ def main() -> int:
     ap.add_argument("--embeddings", default=None,
                     help="embeddings parquet (vec_id, embedding) for the "
                          "semantic sweep")
+    ap.add_argument("--history", default=None,
+                    help="accepted-corpus parquet (doc_id, text) for the "
+                         "ingest sweep (dump-vs-history dedup tiers)")
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--min-tokens", type=int, default=None)
     ap.add_argument("--langs", default=None, help="comma allowlist")
@@ -118,6 +131,37 @@ def main() -> int:
     def write(df, sub):
         df.write.mode("overwrite").parquet(out(sub))
         return spark.read.parquet(out(sub)).count()
+
+    if "ingest" in sweeps:
+        if args.history:
+            def ingest_sweep():
+                from smart_ocr_spark.functions import bloom
+
+                hist = spark.read.parquet(args.history).select(
+                    "doc_id", "text"
+                )
+                n_in = docs.count()
+                exact_new = bloom.incremental_new_keys(
+                    docs, hist, "text"
+                )
+                n_exact = exact_new.count()
+                kept = dedup.minhash_incremental_new_docs(
+                    exact_new.drop("bloom_candidate"), hist,
+                    threshold=args.jaccard,
+                )
+                n = write(kept, "ingest")
+                return {
+                    "rows_in": n_in,
+                    "exact_new": n_exact,
+                    "rows": n,
+                    "dropped_exact": n_in - n_exact,
+                    "dropped_neardup": n_exact - n,
+                }
+            run_sweep("ingest", ingest_sweep)
+            # every later sweep curates only the genuinely-new docs
+            docs = spark.read.parquet(out("ingest"))
+        else:
+            report["sweeps"]["ingest"] = {"skipped": "no --history"}
 
     if "funnel" in sweeps:
         def funnel_sweep():

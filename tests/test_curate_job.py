@@ -45,3 +45,68 @@ def test_curate_job_end_to_end(tmp_path):
         assert os.path.isdir(os.path.join(out, sub)), sub
     # the seam: no sweep's pinned intermediates outlive the job
     assert report["cache_empty"] is True
+
+
+def test_curate_job_ingest_tier(tmp_path):
+    """--history engages the dump-vs-history ingestion pair: the Bloom
+    exact tier drops verbatim copies of history, the MinHash near-dup
+    tier drops verified near-dups, and every later sweep sees only the
+    survivors."""
+    import duckdb
+
+    hist = str(tmp_path / "history.parquet")
+    dump = str(tmp_path / "dump.parquet")
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM read_parquet('{SF_DOCS}') "
+        f"WHERE doc_id % 3 <> 0) TO '{hist}' (FORMAT PARQUET)"
+    )
+    # dump: every 9th doc an EXACT copy of a history doc, every 6th a
+    # NEAR-dup (history text + short tail), the rest genuinely new
+    duckdb.sql(f"""
+COPY (
+  SELECT d.* REPLACE (
+    CASE WHEN d.doc_id % 9 = 0 AND h.text IS NOT NULL THEN h.text
+         WHEN d.doc_id % 6 = 0 AND h.text IS NOT NULL
+           THEN h.text || ' ingest tail'
+         ELSE d.text END AS text)
+  FROM read_parquet('{SF_DOCS}') d
+  LEFT JOIN read_parquet('{SF_DOCS}') h ON h.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 3 = 0
+) TO '{dump}' (FORMAT PARQUET)""")
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+            "--input", dump, "--output", out,
+            "--history", hist,
+            "--sweeps", "ingest,funnel",
+            "--master", "local[4]",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    ing = report["sweeps"]["ingest"]
+    assert ing["rows_in"] > ing["exact_new"] >= ing["rows"] > 0
+    assert ing["dropped_exact"] > 0       # the planted verbatim copies
+    assert ing["dropped_neardup"] > 0     # the planted near-dups
+    # downstream sweeps curate only the survivors
+    assert report["sweeps"]["funnel"]["n_total"] == ing["rows"]
+    assert report["cache_empty"] is True
+
+
+def test_curate_job_ingest_skip_without_history(tmp_path):
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+            "--input", SF_DOCS, "--output", out,
+            "--sweeps", "ingest,funnel",
+            "--master", "local[4]",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["sweeps"]["ingest"] == {"skipped": "no --history"}
+    assert report["sweeps"]["funnel"]["rows"] > 0
