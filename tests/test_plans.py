@@ -329,3 +329,29 @@ def test_dup_span_report_jvm_only_hashed_keys(spark):
     df.toPandas()
     final = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
     assert "ReusedExchange" in final, final
+
+
+def test_media_ahash_plan_shape(spark):
+    """The aHash pair plan: the pair join rides only
+    (url, hash64, bucket) — no window anywhere, no row-at-a-time
+    Python, no cartesian product, and image payload bytes never ride
+    an Exchange (only the 64-bit hash shuffles)."""
+    df = em.q_media_ahash_neardup(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for part in plan.split("Exchange")[1:]:
+        head = part.splitlines()[0]
+        assert "payload" not in head, head
+
+
+def test_minhash_incremental_plan_shape(spark):
+    """The incremental tier: no window, no cartesian product, and the
+    verification join's shuffles carry ids/shingle hashes — the final
+    keep is a left-anti join on the dump side only."""
+    df = em.q_dedup_minhash_incremental(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
