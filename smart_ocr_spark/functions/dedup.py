@@ -199,6 +199,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    id_type: str = "bigint",
 ) -> DataFrame:
     """Per-doc MinHash signature + band keys, all JVM-side.
 
@@ -217,7 +218,7 @@ def minhash_signatures(
     prefixes = [f"{s}:".encode() for s in range(n_hashes)]
     sig_names = [f"sig_{s}" for s in range(n_hashes)]
     band_names = [f"band_{b}" for b in range(n_bands)]
-    out_schema = f"{id_col} bigint, " + ", ".join(
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
         f"{c} string" for c in sig_names + band_names
     )
 

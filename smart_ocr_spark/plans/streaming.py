@@ -248,3 +248,148 @@ def stream_exact_dedup(
 
 def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, DEDUP_SUBDIR))
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup dedup across micro-batches (MinHash-LSH state)
+# ---------------------------------------------------------------------------
+
+NEARDUP_SUBDIR = "neardup"
+NEARDUP_CKPT_SUBDIR = "_neardup_checkpoint"
+
+TEXT_INPUT_SCHEMA = "url string, text string"
+
+
+def stream_neardup_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    threshold: float = 0.8,
+):
+    """Streaming MinHash-LSH near-dup detection across micro-batches —
+    the stateful analog of ``dedup.minhash_incremental_new_docs``: as
+    text dumps land, each doc is checked against everything that
+    arrived in any earlier micro-batch (state lives in the streaming
+    checkpoint, so restarts resume with history intact).
+
+    Shape:
+      * the stateless MinHash pass (``dedup.minhash_signatures`` —
+        map-local hashlib inside Arrow batches) runs on the stream
+        unchanged; one row per (url, band bucket) feeds the stateful
+        operator, so state is spread across ``n_bands × 16^32`` keys,
+        never one hot group;
+      * per band-bucket group state = the signatures seen in that
+        bucket; an arriving doc matches if a stored signature agrees
+        on ≥ ``threshold`` of its MinHash components (the standard
+        unbiased Jaccard estimator).  This is the documented streaming
+        trade-off vs the batch tier: exact shingle verification needs
+        the history TEXT, which state deliberately does not hold —
+        candidates flagged here can be exactly verified by the bounded
+        batch tier downstream;
+      * rows are processed in url order inside each micro-batch, so
+        first-seen-wins is deterministic regardless of partitioning;
+      * every arriving signature is added to state (optimistic insert,
+        matching the batch keep-list convention that a dropped doc can
+        still canonicalize later arrivals).
+
+    Output: one row per (url, bucket) with the matched history url (or
+    null) and the estimated Jaccard; ``read_neardup_verdicts`` folds
+    bands into a per-doc verdict.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    from smart_ocr_spark.functions import dedup as dedup_fn
+
+    stream = spark.readStream.schema(TEXT_INPUT_SCHEMA).parquet(input_dir)
+    sig = dedup_fn.minhash_signatures(
+        stream, id_col="url", text_col="text", id_type="string"
+    )
+    n_hashes = dedup_fn.N_MINHASH
+    sig_cols = [f"sig_{s}" for s in range(n_hashes)]
+    bands = None
+    for b in range(dedup_fn.N_BANDS):
+        part = sig.select(
+            "url",
+            *sig_cols,
+            F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    out_schema = (
+        "url string, bucket string, matched_url string, est_jaccard double"
+    )
+    state_schema = "urls array<string>, sigs array<string>"
+
+    def neardup_group(key, pdfs, state: GroupState):
+        if state.exists:
+            urls, packed = list(state.get[0]), list(state.get[1])
+        else:
+            urls, packed = [], []
+        hist = [p.split("|") for p in packed]
+        rows = []
+        arrivals = []
+        for pdf in pdfs:
+            for tup in pdf.itertuples(index=False):
+                arrivals.append((tup.url, [getattr(tup, c) for c in sig_cols]))
+        arrivals.sort(key=lambda a: a[0])  # deterministic in-batch order
+        for url, s in arrivals:
+            best, best_est = None, 0.0
+            for hurl, hs in zip(urls, hist):
+                est = sum(x == y for x, y in zip(s, hs)) / n_hashes
+                if est >= threshold and (
+                    best is None or est > best_est
+                    or (est == best_est and hurl < best)
+                ):
+                    best, best_est = hurl, est
+            rows.append((url, key[0], best, best_est if best else None))
+            urls.append(url)
+            hist.append(s)
+            packed.append("|".join(s))
+        state.update((urls, packed))
+        yield pd.DataFrame(
+            rows, columns=["url", "bucket", "matched_url", "est_jaccard"]
+        )
+
+    flagged = bands.groupBy("bucket").applyInPandasWithState(
+        neardup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, NEARDUP_SUBDIR))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, NEARDUP_CKPT_SUBDIR)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_neardup_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-doc verdict from the per-band stream output: a doc is a
+    near-dup if ANY band matched; the reported match is the best
+    (highest estimate, ties to the lexicographically largest url —
+    max of the (est, url) struct, deterministic)."""
+    rows = spark.read.parquet(os.path.join(out_dir, NEARDUP_SUBDIR))
+    best = (
+        rows.where(F.col("matched_url").isNotNull())
+        .groupBy("url")
+        .agg(F.max(F.struct("est_jaccard", "matched_url")).alias("m"))
+    )
+    return (
+        rows.select("url").distinct()
+        .join(best, "url", "left")
+        .select(
+            "url",
+            F.col("m").isNotNull().alias("is_neardup"),
+            F.col("m.matched_url").alias("matched_url"),
+            F.col("m.est_jaccard").alias("est_jaccard"),
+        )
+    )

@@ -259,3 +259,118 @@ def test_stream_batch_equivalence_dedup(spark, tmp_path_factory):
     # first-seen-wins across the batch boundary: every survivor of a
     # body present in dump1 is a dump1 row
     assert all(r["url"].startswith("a") for r in kept.collect())
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash-LSH near-dup across micro-batches
+# ---------------------------------------------------------------------------
+
+
+def _nd_texts():
+    long1 = " ".join(f"alpha{i} beta{i}" for i in range(20))
+    long2 = " ".join(f"gamma{i} delta{i}" for i in range(20))
+    return {
+        "d1/a": long1,
+        "d1/b": long2,
+        "d1/c": "tiny text here",
+        "d2/a2": long1 + " trailing tail",   # near-dup of d1/a
+        "d2/e": long2,                        # exact text of d1/b
+        "d2/f": " ".join(f"fresh{i} new{i}" for i in range(20)),
+    }
+
+
+def _nd_reference(threshold=0.8):
+    """Pure-python replay of the streaming operator's algorithm —
+    same MinHash kernel (hashlib md5, same seeds), same bucket keys,
+    same in-batch url ordering and optimistic insert — giving the
+    ground-truth per-doc verdicts the stream must reproduce."""
+    import hashlib
+
+    from smart_ocr_spark.functions.dedup import (
+        N_BANDS, N_MINHASH, _shingle_set,
+    )
+
+    texts = _nd_texts()
+    rows_per_band = N_MINHASH // N_BANDS
+
+    def sigs_of(text):
+        sh = [s.encode() for s in _shingle_set(text)]
+        if not sh:
+            return None
+        sigs = [
+            min(hashlib.md5(f"{p}:".encode() + s).hexdigest() for s in sh)
+            for p in range(N_MINHASH)
+        ]
+        bands = [
+            hashlib.md5("".join(
+                sigs[b * rows_per_band:(b + 1) * rows_per_band]
+            ).encode()).hexdigest()
+            for b in range(N_BANDS)
+        ]
+        return sigs, bands
+
+    state: dict[str, list] = {}
+    per_row = {}
+    for dump in ("d1/", "d2/"):
+        batch = sorted(u for u in texts if u.startswith(dump))
+        for url in batch:
+            got = sigs_of(texts[url])
+            if got is None:
+                continue
+            sigs, bands = got
+            for b, bv in enumerate(bands):
+                bucket = f"{b}:{bv}"
+                hist = state.setdefault(bucket, [])
+                best, best_est = None, 0.0
+                for hurl, hs in hist:
+                    est = sum(x == y for x, y in zip(sigs, hs)) / N_MINHASH
+                    if est >= threshold and (
+                        best is None or est > best_est
+                        or (est == best_est and hurl < best)
+                    ):
+                        best, best_est = hurl, est
+                per_row[(url, bucket)] = (best, best_est if best else None)
+                hist.append((url, sigs))
+    verdicts = {}
+    for (url, _), (m, est) in per_row.items():
+        cur = verdicts.get(url)
+        if m is not None and (cur is None or cur[0] is None
+                              or (est, m) > (cur[1], cur[0])):
+            verdicts[url] = (m, est)
+        elif cur is None:
+            verdicts[url] = (None, None)
+    return verdicts
+
+
+def test_stream_neardup_matches_reference_across_restart(spark, tmp_path):
+    """The stateful near-dup stream must (a) carry history across a
+    QUERY RESTART via the checkpoint, and (b) agree row-for-row with
+    the pure-python replay of its own declared algorithm."""
+    inp = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    texts = _nd_texts()
+
+    def drop(tag):
+        rows = [(u, t) for u, t in texts.items() if u.startswith(tag)]
+        spark.createDataFrame(rows, "url string, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(inp, tag.rstrip("/")))
+
+    drop("d1/")
+    q = streaming.stream_neardup_dedup(spark, inp + "/*", out)
+    q.awaitTermination(300)
+    drop("d2/")
+    q2 = streaming.stream_neardup_dedup(spark, inp + "/*", out)  # restart
+    q2.awaitTermination(300)
+
+    got = {
+        r.url: (r.matched_url, r.est_jaccard)
+        for r in streaming.read_neardup_verdicts(spark, out).collect()
+    }
+    want = _nd_reference()
+    assert got == want, (got, want)
+    # the planted cross-batch dups were caught with history intact
+    assert got["d2/e"] == ("d1/b", 1.0)           # exact text, est 1.0
+    assert got["d2/a2"][0] == "d1/a"              # near-dup via suffix
+    assert got["d2/f"] == (None, None)            # fresh doc survives
+    assert got["d1/a"] == (None, None)            # history never flags
