@@ -260,11 +260,15 @@ NEARDUP_CKPT_SUBDIR = "_neardup_checkpoint"
 TEXT_INPUT_SCHEMA = "url string, text string"
 
 
+STATE_SIG_CAP = 4096  # distinct signatures kept per band bucket
+
+
 def stream_neardup_dedup(
     spark: SparkSession,
     input_dir: str,
     out_dir: str,
     threshold: float = 0.8,
+    state_sig_cap: int = STATE_SIG_CAP,
 ):
     """Streaming MinHash-LSH near-dup detection across micro-batches —
     the stateful analog of ``dedup.minhash_incremental_new_docs``: as
@@ -288,13 +292,19 @@ def stream_neardup_dedup(
         batch tier downstream;
       * rows are processed in url order inside each micro-batch, so
         first-seen-wins is deterministic regardless of partitioning;
-      * every arriving signature is added to state (optimistic insert,
-        matching the batch keep-list convention that a dropped doc can
-        still canonicalize later arrivals).
+      * state is SKEW-SAFE by construction: each DISTINCT signature
+        vector is stored once, with the first url that carried it
+        (band buckets only collide for near-identical docs, so the
+        degenerate case — one boilerplate page duplicated millions of
+        times — folds to ONE state entry instead of millions, and every
+        later copy still matches that entry at estimate 1.0).  Distinct
+        near-variants are additionally bounded by ``state_sig_cap``
+        (first-seen kept; saturation surfaced as ``state_saturated`` on
+        every row decided by a full bucket, never silent).
 
     Output: one row per (url, bucket) with the matched history url (or
-    null) and the estimated Jaccard; ``read_neardup_verdicts`` folds
-    bands into a per-doc verdict.
+    null), the estimated Jaccard, and the saturation flag;
+    ``read_neardup_verdicts`` folds bands into a per-doc verdict.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -319,7 +329,8 @@ def stream_neardup_dedup(
         bands = part if bands is None else bands.unionByName(part)
 
     out_schema = (
-        "url string, bucket string, matched_url string, est_jaccard double"
+        "url string, bucket string, matched_url string, est_jaccard double, "
+        "state_saturated boolean"
     )
     state_schema = "urls array<string>, sigs array<string>"
 
@@ -329,6 +340,7 @@ def stream_neardup_dedup(
         else:
             urls, packed = [], []
         hist = [p.split("|") for p in packed]
+        seen_sigs = set(packed)
         rows = []
         arrivals = []
         for pdf in pdfs:
@@ -344,13 +356,25 @@ def stream_neardup_dedup(
                     or (est == best_est and hurl < best)
                 ):
                     best, best_est = hurl, est
-            rows.append((url, key[0], best, best_est if best else None))
-            urls.append(url)
-            hist.append(s)
-            packed.append("|".join(s))
+            full = len(urls) >= state_sig_cap
+            rows.append(
+                (url, key[0], best, best_est if best else None, full)
+            )
+            pk = "|".join(s)
+            # one state entry per DISTINCT signature, first url wins;
+            # hard cap bounds distinct variants (saturation flagged)
+            if pk not in seen_sigs and not full:
+                seen_sigs.add(pk)
+                urls.append(url)
+                hist.append(s)
+                packed.append(pk)
         state.update((urls, packed))
         yield pd.DataFrame(
-            rows, columns=["url", "bucket", "matched_url", "est_jaccard"]
+            rows,
+            columns=[
+                "url", "bucket", "matched_url", "est_jaccard",
+                "state_saturated",
+            ],
         )
 
     flagged = bands.groupBy("bucket").applyInPandasWithState(
@@ -383,13 +407,18 @@ def read_neardup_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("url")
         .agg(F.max(F.struct("est_jaccard", "matched_url")).alias("m"))
     )
+    sat = rows.groupBy("url").agg(
+        F.max(F.col("state_saturated").cast("int")).alias("sat_i")
+    )
     return (
         rows.select("url").distinct()
         .join(best, "url", "left")
+        .join(sat, "url")
         .select(
             "url",
             F.col("m").isNotNull().alias("is_neardup"),
             F.col("m.matched_url").alias("matched_url"),
             F.col("m.est_jaccard").alias("est_jaccard"),
+            (F.col("sat_i") == 1).alias("state_saturated"),
         )
     )

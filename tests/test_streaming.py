@@ -276,6 +276,9 @@ def _nd_texts():
         "d2/a2": long1 + " trailing tail",   # near-dup of d1/a
         "d2/e": long2,                        # exact text of d1/b
         "d2/f": " ".join(f"fresh{i} new{i}" for i in range(20)),
+        "d2/g": long2,                        # third identical copy:
+        # must match d1/b (the FIRST holder of that signature — state
+        # stores each distinct signature once), never d2/e
     }
 
 
@@ -330,7 +333,9 @@ def _nd_reference(threshold=0.8):
                     ):
                         best, best_est = hurl, est
                 per_row[(url, bucket)] = (best, best_est if best else None)
-                hist.append((url, sigs))
+                # one entry per distinct signature, first url wins
+                if not any(hs == sigs for _, hs in hist):
+                    hist.append((url, sigs))
     verdicts = {}
     for (url, _), (m, est) in per_row.items():
         cur = verdicts.get(url)
@@ -374,3 +379,28 @@ def test_stream_neardup_matches_reference_across_restart(spark, tmp_path):
     assert got["d2/a2"][0] == "d1/a"              # near-dup via suffix
     assert got["d2/f"] == (None, None)            # fresh doc survives
     assert got["d1/a"] == (None, None)            # history never flags
+    # distinct-signature state: the third identical copy matches the
+    # FIRST holder, proving duplicates fold to one state entry
+    assert got["d2/g"] == ("d1/b", 1.0)
+    sat = {r.url: r.state_saturated for r in
+           streaming.read_neardup_verdicts(spark, out).collect()}
+    assert not any(sat.values())                  # cap never engaged
+
+
+def test_stream_neardup_saturation_flagged(spark, tmp_path):
+    """A full bucket never silently degrades: with the cap forced to 0
+    nothing is stored, nothing matches, and EVERY verdict carries
+    state_saturated=True."""
+    inp = str(tmp_path / "sat_in")
+    out = str(tmp_path / "sat_out")
+    texts = {u: t for u, t in _nd_texts().items() if u.startswith("d1/")}
+    spark.createDataFrame(
+        list(texts.items()), "url string, text string"
+    ).write.parquet(os.path.join(inp, "d1"))
+    q = streaming.stream_neardup_dedup(
+        spark, inp + "/*", out, state_sig_cap=0
+    )
+    q.awaitTermination(300)
+    rows = streaming.read_neardup_verdicts(spark, out).collect()
+    assert rows and all(r.state_saturated for r in rows)
+    assert not any(r.is_neardup for r in rows)
