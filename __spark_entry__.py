@@ -923,7 +923,11 @@ def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries its successor doc's grid with the last pixel replaced — a
     planted 1-pixel perturbation the aHash Hamming join must surface.
     Pairs via the shared SimHash pigeonhole chunk-blocking core (no N²
-    self-join); payloads never shuffle, only the 64-bit hash does."""
+    self-join); payloads never shuffle, only the 64-bit hash does.
+    max_hamming=8 exceeds the 4-chunk pigeonhole guarantee (≤3), so
+    pairs are banding-recall above radius 3 — the oracle mirrors the
+    same chunk join, making the semantics (not just the values) the
+    contract; the kernel logs the bound."""
     from smart_ocr_spark.functions import multimodal
 
     _ship(spark)
@@ -2990,10 +2994,13 @@ w AS (SELECT bucket,
     log10((coalesce(cn, 0) + 1) / CAST(n_num + 512 AS DOUBLE))
   - log10((coalesce(cd, 0) + 1) / CAST(n_den + 512 AS DOUBLE)) AS w
   FROM tgt FULL JOIN raw USING (bucket) CROSS JOIN tot),
+w0 AS (SELECT log10(1 / CAST(n_num + 512 AS DOUBLE))
+         - log10(1 / CAST(n_den + 512 AS DOUBLE)) AS w0 FROM tot),
 per AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
-    round(sum(coalesce(w.w, 0.0)), 4) + 0.0 AS log_weight,
-    round(avg(coalesce(w.w, 0.0)), 4) + 0.0 AS avg_weight
-  FROM fb LEFT JOIN w ON w.bucket = fb.bucket GROUP BY fb.doc_id)
+    round(sum(coalesce(w.w, w0.w0)), 4) + 0.0 AS log_weight,
+    round(avg(coalesce(w.w, w0.w0)), 4) + 0.0 AS avg_weight
+  FROM fb LEFT JOIN w ON w.bucket = fb.bucket CROSS JOIN w0
+  GROUP BY fb.doc_id)
 SELECT d.doc_id, coalesce(p.n_features, 0) AS n_features,
   coalesce(p.log_weight, 0.0) AS log_weight,
   coalesce(p.avg_weight, 0.0) AS avg_weight
@@ -3016,10 +3023,13 @@ w AS (SELECT bucket,
     log10((coalesce(cn, 0) + 1) / CAST(n_num + 512 AS DOUBLE))
   - log10((coalesce(cd, 0) + 1) / CAST(n_den + 512 AS DOUBLE)) AS w
   FROM pos FULL JOIN neg USING (bucket) CROSS JOIN tot),
+w0 AS (SELECT log10(1 / CAST(n_num + 512 AS DOUBLE))
+         - log10(1 / CAST(n_den + 512 AS DOUBLE)) AS w0 FROM tot),
 per AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
-    round(sum(coalesce(w.w, 0.0)), 4) + 0.0 AS score,
-    round(avg(coalesce(w.w, 0.0)), 4) + 0.0 AS avg_weight
-  FROM fb LEFT JOIN w ON w.bucket = fb.bucket GROUP BY fb.doc_id)
+    round(sum(coalesce(w.w, w0.w0)), 4) + 0.0 AS score,
+    round(avg(coalesce(w.w, w0.w0)), 4) + 0.0 AS avg_weight
+  FROM fb LEFT JOIN w ON w.bucket = fb.bucket CROSS JOIN w0
+  GROUP BY fb.doc_id)
 SELECT d.doc_id, coalesce(p.n_features, 0) AS n_features,
   coalesce(p.score, 0.0) AS score,
   coalesce(p.avg_weight, 0.0) AS avg_weight,

@@ -128,6 +128,15 @@ def main() -> int:
     def out(sub):
         return os.path.join(args.output, sub)
 
+    def out_exists(sub):
+        # Hadoop FS, not os.path: --output may be s3://... or hdfs://...
+        # where os.path.isdir is always False and the shards sweep would
+        # silently skip every gate
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(out(sub))
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def write(df, sub):
         df.write.mode("overwrite").parquet(out(sub))
         return spark.read.parquet(out(sub)).count()
@@ -136,14 +145,19 @@ def main() -> int:
         if args.history:
             def ingest_sweep():
                 from smart_ocr_spark.functions import bloom
+                from smart_ocr_spark.functions.cache import pin
 
                 hist = spark.read.parquet(args.history).select(
                     "doc_id", "text"
                 )
                 n_in = docs.count()
-                exact_new = bloom.incremental_new_keys(
+                # pin: the near-dup tier consumes this lineage three
+                # more times (signature pass, semi-join, final
+                # left-anti) — unpinned, the Bloom build+probe over the
+                # whole history would re-run for each
+                exact_new = pin(bloom.incremental_new_keys(
                     docs, hist, "text"
-                )
+                ))
                 n_exact = exact_new.count()
                 kept = dedup.minhash_incremental_new_docs(
                     exact_new.drop("bloom_candidate"), hist,
@@ -244,20 +258,20 @@ def main() -> int:
 
             survivors = docs.select("doc_id", "text")
             gates = []
-            if os.path.isdir(out("funnel")):
+            if out_exists("funnel"):
                 gates.append("funnel")
                 survivors = survivors.join(
                     spark.read.parquet(out("funnel"))
                     .where(F.col("keep")).select("doc_id"),
                     "doc_id",
                 )
-            if os.path.isdir(out("neardup_keep")):
+            if out_exists("neardup_keep"):
                 gates.append("neardup")
                 survivors = survivors.join(
                     spark.read.parquet(out("neardup_keep")).select("doc_id"),
                     "doc_id",
                 )
-            if os.path.isdir(out("c4")):
+            if out_exists("c4"):
                 gates.append("c4")
                 survivors = survivors.join(
                     spark.read.parquet(out("c4"))

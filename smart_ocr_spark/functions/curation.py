@@ -98,7 +98,12 @@ def curation_funnel(
     base = scored.select(
         id_col, "lang", "token_count", "quality_score",
         quality_ok.alias("quality_ok"),
-        F.md5(F.col(text_col)).alias("__md5"),
+        # NULL-safe content key: a plain md5 would be NULL for NULL
+        # text and the keeper join below would silently drop the doc —
+        # every doc must get a verdict row
+        F.coalesce(
+            F.md5(F.col(text_col)), F.lit("__null_text__")
+        ).alias("__md5"),
     )
     rep = with_repetition_metrics(df, id_col=id_col, text_col=text_col).select(
         id_col, (~F.col("repetitive")).alias("repetition_ok")

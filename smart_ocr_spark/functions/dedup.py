@@ -22,6 +22,7 @@ space-joined 3-gram shingles over lowercased whitespace tokens).
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -29,6 +30,8 @@ from pyspark.sql.types import LongType
 
 from smart_ocr_spark.functions.cache import pin
 from smart_ocr_spark.functions.text_analysis import tokens_col
+
+_log = logging.getLogger(__name__)
 
 N_MINHASH = 8  # signature length
 N_BANDS = 2  # LSH bands (4 rows per band)
@@ -64,18 +67,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     map-side partials absorb a corpus-wide duplicated doc — and the
     keeper filter is a left-semi join on (hash, id), which AQE can
     skew-split; a window here would pin every copy of a hot text onto
-    one sorting task."""
+    one sorting task.
+
+    NULL texts form one group (hash coalesced to a sentinel no real
+    md5 can produce) and keep their min-id row — a plain equi-join on
+    md5(text) would silently drop every NULL-text document because
+    NULL == NULL never matches."""
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
     keepers = (
-        df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+        df.select(h.alias("_h"), F.col(id_col))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(
         keepers,
-        on=[
-            F.md5(F.col(text_col)) == keepers["_h"],
-            df[id_col] == keepers[id_col],
-        ],
+        on=[h == keepers["_h"], df[id_col] == keepers[id_col]],
         how="left_semi",
     )
 
@@ -770,8 +776,25 @@ def hash64_near_pairs(
     bits shares at least one exact 16-bit chunk, so block on the 4
     chunks, join per chunk, verify with ``bit_count``.  Neighbor-side
     fan-in capped (largest ids kept; pair filter is ``a < b``).
-    ``hashed`` must hold one row per id with ``hash_col`` as bigint."""
+    ``hashed`` must hold one row per id with ``hash_col`` as bigint.
+
+    RECALL BOUND: completeness is guaranteed only for ``max_hamming ≤
+    3`` (4 chunks, pigeonhole).  Above that the blocking is a BANDING
+    scheme — a pair at Hamming 4–``max_hamming`` is emitted iff its
+    differing bits leave at least one 16-bit chunk untouched (true for
+    clustered bit flips, the common near-dup shape; false for flips
+    spread across all 4 chunks).  Callers wanting guaranteed recall at
+    higher radii need more/smaller chunks; the miss mode is LOGGED
+    here, never silent."""
     from smart_ocr_spark.functions.similarity import _cap_bucket_fanin
+
+    if max_hamming > 3:
+        _log.warning(
+            "%s: max_hamming=%d exceeds the 4-chunk pigeonhole guarantee "
+            "(<=3); pairs whose differing bits touch all 4 of the 16-bit "
+            "chunks will not be emitted (banding recall, not exhaustive)",
+            what, max_hamming,
+        )
 
     chunks = None
     for c in range(4):

@@ -182,13 +182,19 @@ def pack_shuffled(
     )
 
 
-def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
-    """Roll the per-doc assignment up to (group_id, bin_id): doc count,
+def packing_stats(
+    packed: DataFrame, budget: int, group_col: str = "group_id"
+) -> DataFrame:
+    """Roll the per-doc assignment up to (group, bin_id): doc count,
     token sum, 4-decimal fill ratio, and whether the bin overflows the
     budget (possible by at most one document tail — see module doc).
 
-    One shuffle on (group_id, bin_id) with map-side partial aggs."""
-    return packed.groupBy("group_id", "bin_id").agg(
+    ``group_col`` defaults to :func:`pack_offsets` output; pass
+    ``"shard_id"`` to roll up :func:`pack_shuffled` output with the
+    same fill/overflow definitions.
+
+    One shuffle on (group, bin_id) with map-side partial aggs."""
+    return packed.groupBy(group_col, "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 4).alias(

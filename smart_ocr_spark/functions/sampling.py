@@ -121,6 +121,18 @@ def resample_to_mix(
         .groupBy(class_col, "p")
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
+    # a target class ABSENT from the corpus makes T = min(n/p) = 0 —
+    # the requested mixture is unachievable; silently renormalizing
+    # over the present classes would hand the caller a mixture that
+    # does not match `targets`, so fail loudly instead (the counts agg
+    # is ≤ len(targets) rows — the action is cheap)
+    present = {r[class_col] for r in counts.select(class_col).collect()}
+    missing = sorted(set(targets) - present)
+    if missing:
+        raise ValueError(
+            f"target classes absent from the corpus: {missing}; "
+            "T = min_c(n_c/p_c) is 0 and no resample can satisfy the mix"
+        )
     feasible = counts.agg(
         F.min(F.col("n") / F.col("p")).alias("t_total")
     )

@@ -39,11 +39,14 @@ order cannot flip a comparison.
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from smart_ocr_spark.functions.text_analysis import tokens_col
+
+_log = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = 10_000
 _SALT = "sel"
@@ -101,7 +104,13 @@ def logratio_weights(
 ) -> DataFrame:
     """Per-bucket weight ``log10 p_num(b) - log10 p_den(b)`` with
     add-one smoothing over the full bucket space.  Output (bucket, w)
-    has ≤ ``n_buckets`` rows — always broadcast-sized."""
+    has ≤ ``n_buckets + 1`` rows — always broadcast-sized.
+
+    Buckets unseen in BOTH models still have a well-defined smoothed
+    weight — ``log10(1/(n_num+B)) − log10(1/(n_den+B))``, a constant —
+    carried as one sentinel row (``bucket = -1``, unreachable: real
+    buckets are ``pmod ≥ 0``) so scoring applies genuine add-one
+    smoothing instead of silently treating unseen features as 0."""
     num = _bucket_model(num_feats).withColumnRenamed("c", "cn")
     den = _bucket_model(den_feats).withColumnRenamed("c", "cd")
     totals = (
@@ -112,20 +121,26 @@ def logratio_weights(
             F.coalesce("n_den", F.lit(0)).alias("n_den"),
         )
     )
-    joined = num.join(den, "bucket", "full").crossJoin(F.broadcast(totals))
-    return joined.select(
-        "bucket",
-        (
+
+    def smoothed(cn, cd):
+        return (
             F.log10(
-                (F.coalesce("cn", F.lit(0)) + 1)
-                / (F.col("n_num") + F.lit(n_buckets)).cast("double")
+                (cn + 1) / (F.col("n_num") + F.lit(n_buckets)).cast("double")
             )
             - F.log10(
-                (F.coalesce("cd", F.lit(0)) + 1)
-                / (F.col("n_den") + F.lit(n_buckets)).cast("double")
+                (cd + 1) / (F.col("n_den") + F.lit(n_buckets)).cast("double")
             )
-        ).alias("w"),
+        ).alias("w")
+
+    joined = num.join(den, "bucket", "full").crossJoin(F.broadcast(totals))
+    seen = joined.select(
+        "bucket",
+        smoothed(F.coalesce("cn", F.lit(0)), F.coalesce("cd", F.lit(0))),
     )
+    unseen = totals.select(
+        F.lit(-1).alias("bucket"), smoothed(F.lit(0), F.lit(0))
+    )
+    return seen.unionByName(unseen)
 
 
 def _score_by_weights(
@@ -137,17 +152,29 @@ def _score_by_weights(
     score_alias: str,
 ) -> DataFrame:
     """Per-doc (n_features, sum-of-weights, mean weight); docs with no
-    features score 0.0.  Broadcast join + doc-keyed agg only."""
+    features score 0.0.  Broadcast join + doc-keyed agg only.
+
+    Features hashing to a bucket unseen by either model take the
+    smoothed unseen-bucket weight from the ``bucket = -1`` sentinel row
+    (falling back to 0.0 only when ``weights`` carries no sentinel)."""
     feats = hashed_features(df, id_col, text_col, n_buckets)
-    scored = feats.join(F.broadcast(weights), "bucket", "left")
+    default = weights.where(F.col("bucket") == -1).agg(
+        F.coalesce(F.min("w"), F.lit(0.0)).alias("w0")
+    )
+    scored = (
+        feats.join(
+            F.broadcast(weights.where(F.col("bucket") != -1)), "bucket", "left"
+        )
+        .crossJoin(F.broadcast(default))
+    )
     # + 0.0 normalizes a rounded -0.0 to +0.0 (engine-parity: the two
     # stringify differently)
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_features"),
-        (F.round(F.sum(F.coalesce("w", F.lit(0.0))), 4) + F.lit(0.0)).alias(
+        (F.round(F.sum(F.coalesce("w", F.col("w0"))), 4) + F.lit(0.0)).alias(
             score_alias
         ),
-        (F.round(F.avg(F.coalesce("w", F.lit(0.0))), 4) + F.lit(0.0)).alias(
+        (F.round(F.avg(F.coalesce("w", F.col("w0"))), 4) + F.lit(0.0)).alias(
             "avg_weight"
         ),
     )
@@ -190,25 +217,69 @@ def dsir_select(
     fraction: float,
     id_col: str = "doc_id",
     weight_col: str = "log_weight",
+    takeordered_max_k: int = 5_000_000,
 ) -> DataFrame:
     """Deterministic top-``fraction`` selection (the resampling step,
     in its deterministic top-k form): rank by (rounded weight desc,
     id asc) and keep ``ceil(fraction * n)`` docs.
 
-    Scale: the ranking runs over (weight, id) PAIRS via
-    ``orderBy().limit()`` — Spark's TakeOrdered (per-partition top-k +
-    merge), not a single-partition window; the one driver action is a
-    count of the scored table."""
+    Two scale tiers, identical output:
+      * ``k ≤ takeordered_max_k``: ``orderBy().limit(k)`` — Spark's
+        TakeOrdered (per-partition top-k + merge) — then a broadcast
+        semi-join of the k ids.
+      * larger k (the 10^9-doc regime, where collecting/broadcasting k
+        ids would blow the driver and the 8 GB broadcast cap): find the
+        exact BOUNDARY weight from the per-weight histogram (weights
+        are rounded to 4 decimals, so the histogram is tiny), keep all
+        rows strictly above it with a plain filter (no id list at
+        all), and resolve only the boundary-weight class by
+        TakeOrdered of the remaining ``r`` smallest ids.  ``r`` is
+        bounded by the boundary class size — logged when it is large
+        (a near-constant weight distribution is the degenerate case).
+    """
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     k = math.ceil(fraction * scored.count())
-    top = (
-        scored.select(id_col, weight_col)
-        .orderBy(F.desc(weight_col), F.asc(id_col))
-        .limit(k)
-        .select(id_col)
+    if k <= takeordered_max_k:
+        top = (
+            scored.select(id_col, weight_col)
+            .orderBy(F.desc(weight_col), F.asc(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        return scored.join(F.broadcast(top), id_col, "semi")
+
+    hist = (
+        scored.groupBy(weight_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc(weight_col))
+        .collect()  # ≤ distinct rounded weights — tiny
     )
-    return scored.join(F.broadcast(top), id_col, "semi")
+    cum = 0
+    boundary, above = None, 0
+    for r_ in hist:
+        if cum + r_["c"] >= k:
+            boundary, above = r_[weight_col], cum
+            break
+        cum += r_["c"]
+    if boundary is None:  # k >= n: keep everything
+        return scored
+    r = k - above
+    _log.info(
+        "dsir_select threshold path: boundary weight %s, %d boundary "
+        "rows to resolve by id", boundary, r,
+    )
+    kept_above = scored.where(F.col(weight_col) > boundary)
+    boundary_ids = (
+        scored.where(F.col(weight_col) == boundary)
+        .select(id_col)
+        .orderBy(F.asc(id_col))
+        .limit(r)
+    )
+    kept_boundary = scored.where(F.col(weight_col) == boundary).join(
+        boundary_ids, id_col, "semi"
+    )
+    return kept_above.unionByName(kept_boundary)
 
 
 def nb_classifier_scores(

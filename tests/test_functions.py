@@ -1512,3 +1512,41 @@ def test_image_ahash_decoder_seam(spark):
     assert set(inv) == set(fake)
     with pytest.raises(ValueError):
         multimodal.image_ahash64(df, decoder="png")
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    """NULL-text docs must form one dedup group and keep the min-id
+    row — a null-unsafe join would silently drop them all."""
+    df = spark.createDataFrame(
+        [(1, "body a"), (2, None), (3, "body a"), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 2]
+
+
+def test_curation_funnel_null_text_gets_verdict(spark):
+    """Every doc gets a verdict row, including NULL text (dropped by
+    quality, never silently missing)."""
+    from smart_ocr_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [(1, "a genuinely fine sentence with several words here.", "en"),
+         (2, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in curation.curation_funnel(df).collect()}
+    assert set(out) == {1, 2}
+    assert not out[2].keep
+
+
+def test_resample_to_mix_missing_class_raises(spark):
+    from smart_ocr_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(10)], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="absent"):
+        sampling.resample_to_mix(
+            df, "source", {"web": 0.5, "code": 0.5}
+        )

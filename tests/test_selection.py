@@ -114,3 +114,39 @@ def test_dsir_select_uses_take_ordered(toy):
     plan = _plan(S.dsir_select(scored, 0.5), "simple")
     assert "TakeOrdered" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_dsir_select_threshold_path_matches_takeordered(toy):
+    """Forcing the large-k threshold path (takeordered_max_k=0) must
+    select EXACTLY the same docs as the TakeOrdered+broadcast path —
+    including the boundary-weight tie resolved by id asc."""
+    scored = S.dsir_importance(toy, toy.filter("label"), n_buckets=64)
+    for frac in (2 / 7, 3 / 7, 1.0):
+        small = sorted(
+            r["doc_id"] for r in S.dsir_select(scored, frac).collect()
+        )
+        large = sorted(
+            r["doc_id"]
+            for r in S.dsir_select(
+                scored, frac, takeordered_max_k=0
+            ).collect()
+        )
+        assert small == large, frac
+
+
+def test_unseen_bucket_features_get_smoothed_weight(spark, toy):
+    """A doc whose features hash to buckets absent from BOTH models
+    must score the smoothed constant, not 0 (the docstring's add-one
+    smoothing over the full bucket space)."""
+    novel = spark.createDataFrame(
+        [(99, "zzqx wvvk pplm qqrs ttuv", None)],
+        "doc_id long, text string, label boolean",
+    )
+    out = S.nb_classifier_scores(
+        novel, toy, label_col="label", n_buckets=4096
+    ).collect()[0]
+    # with 3 positive vs 2 negative labeled docs the unseen-bucket
+    # weight is log10((n_den+B)/(n_num+B)) != 0
+    assert out["n_features"] == 9
+    assert out["score"] != 0.0
+    assert out["avg_weight"] != 0.0
