@@ -33,6 +33,10 @@ Sweeps (each skippable; each writes parquet under --output):
                history never self-joins; dump-side signatures only).
                Survivors become the working set for every later sweep,
                so a rolling crawl re-curates only genuinely-new docs.
+               Writes the NEXT epoch's signature artifact
+               (history_sig_next = history ∪ accepted-dump signatures);
+               pass it back as --history-sig next run so the history
+               is never re-signed.
   funnel     — quality floor + Gopher repetition + exact-content dedup
                per-doc verdicts (functions/curation.curation_funnel)
                plus the stage-survival report.
@@ -86,6 +90,10 @@ def main() -> int:
     ap.add_argument("--history", default=None,
                     help="accepted-corpus parquet (doc_id, text) for the "
                          "ingest sweep (dump-vs-history dedup tiers)")
+    ap.add_argument("--history-sig", default=None,
+                    help="stored MinHash signature parquet for --history "
+                         "(the history_sig_next artifact of the previous "
+                         "epoch); skips re-signing the whole history")
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--min-tokens", type=int, default=None)
     ap.add_argument("--langs", default=None, help="comma allowlist")
@@ -159,17 +167,40 @@ def main() -> int:
                     docs, hist, "text"
                 ))
                 n_exact = exact_new.count()
+                seen_sig = (
+                    spark.read.parquet(args.history_sig)
+                    if args.history_sig else None
+                )
                 kept = dedup.minhash_incremental_new_docs(
                     exact_new.drop("bloom_candidate"), hist,
-                    threshold=args.jaccard,
+                    threshold=args.jaccard, seen_sig=seen_sig,
                 )
                 n = write(kept, "ingest")
+                # per-epoch signature artifact: next run's history is
+                # (history ∪ accepted dump), so persist exactly those
+                # signatures — the next invocation passes
+                # --history-sig and never re-signs its history
+                hist_sig = (
+                    seen_sig if seen_sig is not None
+                    else dedup.minhash_signatures(hist)
+                )
+                kept_docs = spark.read.parquet(out("ingest")).select(
+                    "doc_id", "text"
+                )
+                n_sig = write(
+                    hist_sig.unionByName(
+                        dedup.minhash_signatures(kept_docs)
+                    ),
+                    "history_sig_next",
+                )
                 return {
                     "rows_in": n_in,
                     "exact_new": n_exact,
                     "rows": n,
                     "dropped_exact": n_in - n_exact,
                     "dropped_neardup": n_exact - n,
+                    "sig_rows_next": n_sig,
+                    "sig_reused": args.history_sig is not None,
                 }
             run_sweep("ingest", ingest_sweep)
             # every later sweep curates only the genuinely-new docs

@@ -93,6 +93,38 @@ COPY (
     # downstream sweeps curate only the survivors
     assert report["sweeps"]["funnel"]["n_total"] == ing["rows"]
     assert report["cache_empty"] is True
+    assert ing["sig_reused"] is False and ing["sig_rows_next"] > 0
+
+    # epoch 2: history = (old history ∪ accepted dump) paired with the
+    # stored signature artifact — replaying the SAME dump must drop
+    # everything (survivors are now exact dups of history; the old
+    # near-dups still verify against the original history text) and
+    # the history is never re-signed
+    hist2 = str(tmp_path / "history2.parquet")
+    duckdb.sql(
+        f"""COPY (
+        SELECT doc_id, text FROM read_parquet('{hist}')
+        UNION ALL
+        SELECT doc_id, text FROM read_parquet('{out}/ingest/*.parquet')
+        ) TO '{hist2}' (FORMAT PARQUET)"""
+    )
+    out2 = str(tmp_path / "curated2")
+    proc2 = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+            "--input", dump, "--output", out2,
+            "--history", hist2,
+            "--history-sig", os.path.join(out, "history_sig_next"),
+            "--sweeps", "ingest",
+            "--master", "local[4]",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    rep2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    ing2 = rep2["sweeps"]["ingest"]
+    assert ing2["sig_reused"] is True
+    assert ing2["rows"] == 0
 
 
 def test_curate_job_ingest_skip_without_history(tmp_path):
