@@ -916,6 +916,21 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 exact-substring REMOVAL at disjoint 8-token
+    block grain: corpus-recurring blocks survive only at their global
+    first (doc_id, pos); docs reconstruct from survivors + tail.  The
+    corpus's planted exact-duplicate docs exercise whole-doc removal;
+    the oracle mirrors at block-STRING grain (collision-free twin of
+    the xxhash64 key)."""
+    from smart_ocr_spark.functions import dedup
+
+    _ship(spark)
+    return dedup.remove_dup_spans(
+        _t(spark, sf_dir, "documents"), window=8
+    )
+
+
 def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash (average-hash) image near-dup over the REAL
     raw-grayscale decode path: each doc's payload is its first 64
@@ -1612,6 +1627,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "dup_span_report": q_dup_span_report,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "media_ahash_neardup": q_media_ahash_neardup,
+        "remove_dup_spans": q_remove_dup_spans,
     }
 
 
@@ -1642,6 +1658,7 @@ _ROTATED_TO_EXTRA = (
     "dup_span_report",
     "dedup_minhash_incremental",
     "media_ahash_neardup",
+    "remove_dup_spans",
 )
 
 
@@ -3245,6 +3262,51 @@ dups AS (SELECT DISTINCT s.new_id
 SELECT n.doc_id, CAST(len(n.text) AS BIGINT) AS n_chars
 FROM nd n LEFT JOIN dups ON dups.new_id = n.doc_id
 WHERE dups.new_id IS NULL
+""",
+        # Exact-substring removal at disjoint 8-token blocks: keeper =
+        # global min (doc_id, pos) per recurring block; reconstruction
+        # token-joined; tail (< 8 tokens) never dedups.  Mirrored at
+        # block-string grain (collision-free twin of xxhash64).
+        "remove_dup_spans": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+b AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS btext
+  FROM (SELECT doc_id, toks,
+          unnest(generate_series(1, ((len(toks) // 8) - 1) * 8 + 1, 8))
+            AS i
+        FROM t WHERE len(toks) >= 8)),
+occ AS (SELECT btext, count(*) AS n_occ FROM b GROUP BY 1),
+keeper AS (
+  SELECT btext, doc_id AS kid, pos AS kpos
+  FROM (SELECT btext, doc_id, pos,
+          row_number() OVER (PARTITION BY btext ORDER BY doc_id, pos)
+            AS rn
+        FROM b) WHERE rn = 1),
+flagged AS (
+  SELECT b.doc_id, b.pos, b.btext,
+    (o.n_occ = 1 OR (b.doc_id = k.kid AND b.pos = k.kpos)) AS kept
+  FROM b JOIN occ o USING (btext) JOIN keeper k USING (btext)),
+tails AS (
+  SELECT doc_id, (len(toks) // 8) * 8 + 1 AS pos,
+    array_to_string(toks[(len(toks) // 8) * 8 + 1 : len(toks)], ' ')
+      AS btext
+  FROM t WHERE len(toks) > (len(toks) // 8) * 8),
+parts AS (
+  SELECT doc_id, pos, btext FROM flagged WHERE kept
+  UNION ALL SELECT doc_id, pos, btext FROM tails),
+asm AS (SELECT doc_id,
+    string_agg(btext, ' ' ORDER BY pos) AS cleaned_text
+  FROM parts GROUP BY doc_id),
+st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_removed_blocks
+  FROM flagged GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a.cleaned_text, '') AS cleaned_text,
+  coalesce(s.n_blocks, 0) AS n_blocks,
+  coalesce(s.n_removed_blocks, 0) AS n_removed_blocks
+FROM documents d
+LEFT JOIN asm a USING (doc_id) LEFT JOIN st s USING (doc_id)
 """,
         # Average-hash image near-dup over the raw-grayscale decode
         # path: pixel i = byte i of the 64-char printable-ASCII grid,

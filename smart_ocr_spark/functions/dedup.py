@@ -826,3 +826,120 @@ def hash64_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring REMOVAL — the transform half of Lee et al. 2022
+    (:func:`dup_span_report` is the report half): the corpus is cut
+    into DISJOINT blocks of ``window`` tokens, and a block whose
+    content recurs anywhere in the corpus survives only at its global
+    first occurrence (min ``(id, pos)``); every other occurrence is
+    cut from its document.  Disjoint blocks make "remove the span"
+    well-posed (overlapping sliding windows would make removals
+    interact); the report keeps the sliding grain for detection.
+
+    The doc is reconstructed from surviving blocks plus the tail
+    (final ``< window`` tokens, never deduped) in order, token-joined —
+    whitespace is normalized to single spaces, the same token-stream
+    grain the paper dedups at.
+
+    Scale shape: blocks explode map-side keyed by ``xxhash64(block)``
+    (block text rides only the doc-keyed reassembly shuffle, exactly
+    like ``paragraph_dedup``); the keeper is a two-stage
+    ``min(struct(id, pos))`` aggregation — partial aggs absorb a
+    corpus-wide boilerplate block map-side, never a window; the
+    verdict join is fact-to-dim on the fixed-width hash (AQE
+    skew-splittable).  Hash-collision trade as everywhere: two
+    distinct blocks sharing an xxhash64 (p ≈ 2⁻⁶⁴) would merge.
+
+    Output: (id, cleaned_text, n_blocks, n_removed_blocks) — one row
+    per input doc; ``n_blocks`` counts FULL blocks only.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    tokd = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    n_full = F.floor(n / window).cast("int")
+    starts = F.when(
+        n_full > 0,
+        F.sequence(F.lit(1), (F.col("__nf") - 1) * window + 1, F.lit(window)),
+    ).otherwise(F.array().cast("array<int>"))
+    based = tokd.withColumn("__nf", n_full)
+    blocks = based.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(
+                        F.slice("toks", i, window), " "
+                    ).alias("btext"),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        id_col,
+        F.col("b.pos").alias("pos"),
+        F.col("b.btext").alias("btext"),
+        F.xxhash64("b.btext").alias("shash"),
+    )
+    occ = blocks.groupBy("shash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper"),
+    )
+    flagged = blocks.join(occ, "shash").withColumn(
+        "kept",
+        (F.col("n_occ") == 1)
+        | (
+            (F.col(f"keeper.{id_col}") == F.col(id_col))
+            & (F.col("keeper.pos") == F.col("pos"))
+        ),
+    )
+    tail_start = F.col("__nf") * window + 1
+    tails = (
+        based.where(n > F.col("__nf") * window)
+        .select(
+            id_col,
+            tail_start.alias("pos"),
+            F.array_join(
+                F.slice("toks", tail_start, window), " "
+            ).alias("btext"),
+        )
+    )
+    parts = flagged.where("kept").select(id_col, "pos", "btext").unionByName(
+        tails
+    )
+    assembled = parts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "btext"))),
+                lambda x: x["btext"],
+            ),
+            " ",
+        ).alias("cleaned_text")
+    )
+    stats = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((~F.col("kept")).cast("bigint")).alias("n_removed_blocks"),
+    )
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+            F.coalesce("n_removed_blocks", F.lit(0)).alias(
+                "n_removed_blocks"
+            ),
+        )
+    )

@@ -1550,3 +1550,39 @@ def test_resample_to_mix_missing_class_raises(spark):
         sampling.resample_to_mix(
             df, "source", {"web": 0.5, "code": 0.5}
         )
+
+
+def test_remove_dup_spans_semantics(spark):
+    """Disjoint-block removal: a block recurring corpus-wide survives
+    only at its global first (id, pos); tails never dedup; docs
+    reconstruct in order."""
+    blk = " ".join(f"b{j}" for j in range(8))          # one full block
+    uniq = lambda d, i: " ".join(f"u{d}x{i}y{j}" for j in range(8))
+    rows = [
+        (1, blk + " " + uniq(1, 1) + " tail1 one"),
+        (2, uniq(2, 1) + " " + blk + " tail2"),        # dup at pos 9
+        (3, blk),                                      # whole doc dup
+        (4, "short doc"),                              # tail only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(df, window=8).collect()}
+    # doc 1 holds the first occurrence: nothing removed
+    assert out[1].n_removed_blocks == 0
+    assert out[1].cleaned_text == rows[0][1]
+    # doc 2 loses the dup block but keeps its unique block + tail
+    assert out[2].n_removed_blocks == 1
+    assert out[2].cleaned_text == uniq(2, 1) + " tail2"
+    # doc 3 loses its only block -> empty
+    assert out[3] .n_removed_blocks == 1 and out[3].cleaned_text == ""
+    # doc 4: sub-window doc is all tail, untouched
+    assert out[4].n_blocks == 0 and out[4].cleaned_text == "short doc"
+
+
+def test_remove_dup_spans_no_dups_identity(spark):
+    """A dup-free corpus reconstructs byte-identically (modulo the
+    documented single-space token join)."""
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(20))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.cleaned_text
+           for r in dedup.remove_dup_spans(df, window=8).collect()}
+    assert out == dict(rows)

@@ -355,3 +355,16 @@ def test_minhash_incremental_plan_shape(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_remove_dup_spans_skew_safe_plan(spark):
+    """The span-removal keeper is the two-stage min(struct(id,pos))
+    aggregation on xxhash64(block) — partial agg before the exchange,
+    no Window, no cartesian product; block text rides only the
+    doc-keyed reassembly shuffle."""
+    df = em.q_remove_dup_spans(spark, SF)
+    assert "Window" not in plan_of(df)
+    simple = plan_of(df, "simple")
+    assert "partial_min" in simple
+    assert "xxhash64" in simple
+    assert "CartesianProduct" not in simple
