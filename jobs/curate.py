@@ -52,10 +52,15 @@ Sweeps (each skippable; each writes parquet under --output):
                its page rules assume sentence-structured web prose and
                honestly reject corpora without terminal punctuation
                (e.g. the synthetic test tables).
+  spans      — exact-substring removal (Lee et al. 2022 grain):
+               corpus-recurring --span-window token blocks survive
+               only at their global first occurrence; writes per-doc
+               cleaned_text + removal counts.
   shards     — final training-shard assembly: docs surviving every
                gate present under --output (funnel keep, neardup
                keep-list, c4 page_keep — each applied iff its sweep
-               output exists, so earlier runs' gates compose) are
+               output exists, so earlier runs' gates compose; a spans
+               output swaps in its span-deduped cleaned_text) are
                shuffled into --shards hash-uniform shards and packed
                onto --seq-len token tapes in shuffled order
                (functions/packing.pack_shuffled), plus a per-shard
@@ -103,6 +108,8 @@ def main() -> int:
                     help="training shard count for the shards sweep")
     ap.add_argument("--seq-len", type=int, default=512,
                     help="token budget per packed training sequence")
+    ap.add_argument("--span-window", type=int, default=8,
+                    help="token-block size for the spans sweep")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -283,12 +290,32 @@ def main() -> int:
                     "lines": agg["lines"], "lines_kept": agg["lines_kept"]}
         run_sweep("c4", c4_sweep)
 
+    if "spans" in sweeps:
+        def spans_sweep():
+            cleaned = dedup.remove_dup_spans(docs, window=args.span_window)
+            n = write(cleaned, "spans")
+            agg = spark.read.parquet(out("spans")).agg(
+                F.sum("n_blocks").alias("b"),
+                F.sum("n_removed_blocks").alias("r"),
+            ).first()
+            return {"rows": n, "blocks": agg["b"],
+                    "blocks_removed": agg["r"]}
+        run_sweep("spans", spans_sweep)
+
     if "shards" in sweeps:
         def shards_sweep():
             from smart_ocr_spark.functions import packing
 
             survivors = docs.select("doc_id", "text")
             gates = []
+            if out_exists("spans"):
+                # span-deduped text replaces the raw text in the shards
+                gates.append("spans")
+                survivors = survivors.drop("text").join(
+                    spark.read.parquet(out("spans"))
+                    .select("doc_id", F.col("cleaned_text").alias("text")),
+                    "doc_id",
+                )
             if out_exists("funnel"):
                 gates.append("funnel")
                 survivors = survivors.join(

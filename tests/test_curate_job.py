@@ -21,7 +21,7 @@ def test_curate_job_end_to_end(tmp_path):
         [
             sys.executable, os.path.join(REPO, "jobs", "curate.py"),
             "--input", SF_DOCS, "--output", out,
-            "--sweeps", "funnel,url,paragraph,shards",
+            "--sweeps", "funnel,url,paragraph,spans,shards",
             "--master", "local[4]",
         ],
         cwd=REPO, capture_output=True, text=True, timeout=600,
@@ -37,11 +37,14 @@ def test_curate_job_end_to_end(tmp_path):
     assert report["sweeps"]["paragraph"]["rows"] == funnel["n_total"]
     # shard assembly gates on the funnel verdicts it just wrote and
     # packs exactly the keepers
+    spans = report["sweeps"]["spans"]
+    assert spans["rows"] == funnel["n_total"]
+    assert spans["blocks_removed"] > 0      # planted exact dups
     shards = report["sweeps"]["shards"]
-    assert shards["gates"] == ["funnel"]
+    assert shards["gates"] == ["spans", "funnel"]
     assert shards["rows"] == funnel["n_keep"]
     assert 0 < shards["shards"] <= 8
-    for sub in ("funnel", "paragraph", "shards", "shard_manifest"):
+    for sub in ("funnel", "paragraph", "spans", "shards", "shard_manifest"):
         assert os.path.isdir(os.path.join(out, sub)), sub
     # the seam: no sweep's pinned intermediates outlive the job
     assert report["cache_empty"] is True
