@@ -916,6 +916,21 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents word-frequency dict: the first 12 learned merges
+    with deterministic tie-breaks.  Iterative (one tiny agg + argmax
+    per merge) — non-SQL-expressible, so no oracle_sql entry: the
+    driver records the rows-only check and the merge table is pinned
+    against a pure-python reference BPE in tests/test_bpe.py."""
+    from smart_ocr_spark.functions import bpe
+
+    _ship(spark)
+    return bpe.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=12
+    )
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2022 exact-substring REMOVAL at disjoint 8-token
     block grain: corpus-recurring blocks survive only at their global
@@ -1628,6 +1643,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "media_ahash_neardup": q_media_ahash_neardup,
         "remove_dup_spans": q_remove_dup_spans,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -1659,6 +1675,7 @@ _ROTATED_TO_EXTRA = (
     "dedup_minhash_incremental",
     "media_ahash_neardup",
     "remove_dup_spans",
+    "bpe_merges",
 )
 
 
