@@ -1586,3 +1586,26 @@ def test_remove_dup_spans_no_dups_identity(spark):
     out = {r.doc_id: r.cleaned_text
            for r in dedup.remove_dup_spans(df, window=8).collect()}
     assert out == dict(rows)
+
+
+def test_minhash_incremental_degenerate_history(spark):
+    """10k identical history docs collapse into one band bucket; the
+    capped history side must still catch an arriving exact copy (ONE
+    surviving verified match suffices) and pass genuinely-new docs."""
+    body = " ".join(f"boiler{j} plate{j}" for j in range(15))
+    hist = spark.createDataFrame(
+        [(i, body) for i in range(10_000)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100_000, body),
+         (100_001, " ".join(f"novel{j} fresh{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup.minhash_incremental_new_docs(
+            new, hist, bucket_cap=64
+        ).collect()
+    }
+    assert kept == {100_001}
+    spark.catalog.clearCache()
