@@ -1688,10 +1688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Overflow beyond the driver's 50-query verification cap.  Every
-    entry here has an ``extra_oracle_sql()`` mirror and is verified
-    with the IDENTICAL compare by tests/test_entry_contract.py and
+    entry here with an ``extra_oracle_sql()`` mirror is verified with
+    the IDENTICAL compare by tests/test_entry_contract.py and
     scripts/validate_oracles.py — the gate is pytest-side instead of
-    driver-side, which is the flagged difference."""
+    driver-side, which is the flagged difference.  Iterative ops with
+    no SQL mirror (``bpe_merges``) get the rows-only stability check
+    plus their own reference-equivalence suite."""
     pool = {**_query_pool_core(), **_query_pool_curation()}
     return {k: pool[k] for k in _ROTATED_TO_EXTRA}
 

@@ -174,32 +174,54 @@ def main() -> int:
                     docs, hist, "text"
                 ))
                 n_exact = exact_new.count()
-                seen_sig = (
+                # sign (or load) the history ONCE — the same frame
+                # feeds the near-dup tier and the next-epoch artifact;
+                # an unshared second minhash_signatures(hist) would
+                # re-run the dominant full-history kernel
+                hist_sig = (
                     spark.read.parquet(args.history_sig)
-                    if args.history_sig else None
+                    if args.history_sig
+                    else pin(dedup.minhash_signatures(hist))
                 )
                 kept = dedup.minhash_incremental_new_docs(
                     exact_new.drop("bloom_candidate"), hist,
-                    threshold=args.jaccard, seen_sig=seen_sig,
+                    threshold=args.jaccard, seen_sig=hist_sig,
                 )
                 n = write(kept, "ingest")
                 # per-epoch signature artifact: next run's history is
                 # (history ∪ accepted dump), so persist exactly those
                 # signatures — the next invocation passes
-                # --history-sig and never re-signs its history
-                hist_sig = (
-                    seen_sig if seen_sig is not None
-                    else dedup.minhash_signatures(hist)
-                )
+                # --history-sig and never re-signs its history.
+                # Staged write: --history-sig may BE this run's
+                # history_sig_next path (same --output across epochs),
+                # and Spark cannot overwrite a path it is reading —
+                # materialize to a staging dir, then swap atomically.
                 kept_docs = spark.read.parquet(out("ingest")).select(
                     "doc_id", "text"
                 )
-                n_sig = write(
-                    hist_sig.unionByName(
-                        dedup.minhash_signatures(kept_docs)
-                    ),
-                    "history_sig_next",
+                next_sig = hist_sig.unionByName(
+                    dedup.minhash_signatures(kept_docs)
                 )
+                next_sig.write.mode("overwrite").parquet(
+                    out("history_sig_staging")
+                )
+                jvm = spark._jvm
+                fs = jvm.org.apache.hadoop.fs.Path(
+                    args.output
+                ).getFileSystem(spark._jsc.hadoopConfiguration())
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    out("history_sig_next")
+                )
+                fs.delete(dst, True)
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(
+                        out("history_sig_staging")
+                    ),
+                    dst,
+                )
+                n_sig = spark.read.parquet(
+                    out("history_sig_next")
+                ).count()
                 return {
                     "rows_in": n_in,
                     "exact_new": n_exact,
@@ -308,13 +330,30 @@ def main() -> int:
 
             survivors = docs.select("doc_id", "text")
             gates = []
+            n_spans_swapped = n_emptied = 0
             if out_exists("spans"):
-                # span-deduped text replaces the raw text in the shards
+                # spans is a TEXT TRANSFORM, not a keep/drop gate:
+                # left-join + coalesce so docs absent from a stale
+                # spans output (e.g. a newer dump) keep their raw text
+                # instead of silently vanishing from the shards
                 gates.append("spans")
-                survivors = survivors.drop("text").join(
-                    spark.read.parquet(out("spans"))
-                    .select("doc_id", F.col("cleaned_text").alias("text")),
+                sp = spark.read.parquet(out("spans")).select(
+                    "doc_id", F.col("cleaned_text").alias("__ct")
+                )
+                survivors = survivors.join(sp, "doc_id", "left").select(
                     "doc_id",
+                    F.coalesce("__ct", "text").alias("text"),
+                    F.col("__ct").isNotNull().alias("__swapped"),
+                )
+                n_spans_swapped = survivors.where("__swapped").count()
+                survivors = survivors.drop("__swapped")
+                # a fully-duplicated doc dedups to '' — drop it from
+                # the tapes, counted, never silent
+                n_emptied = survivors.where(
+                    F.length(F.trim("text")) == 0
+                ).count()
+                survivors = survivors.where(
+                    F.length(F.trim("text")) > 0
                 )
             if out_exists("funnel"):
                 gates.append("funnel")
@@ -351,7 +390,9 @@ def main() -> int:
             )
             nm = write(manifest, "shard_manifest")
             return {"rows": n, "gates": gates, "shards": nm,
-                    "seq_len": args.seq_len}
+                    "seq_len": args.seq_len,
+                    "spans_swapped": n_spans_swapped,
+                    "emptied_dropped": n_emptied}
         run_sweep("shards", shards_sweep)
 
     # the seam's runtime evidence: nothing pinned survives its sweep

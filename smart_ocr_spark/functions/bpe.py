@@ -17,10 +17,12 @@ Scale shape:
   * re-segmentation applies the ONE chosen merge to the dict in an
     Arrow-batched pandas pass — Python runs on the dictionary, never
     on the corpus;
-  * the dict is re-pinned per iteration and the previous pin released
-    (``cache_scope``-compatible), so lineage never grows unboundedly —
-    each iteration also ``localCheckpoint``s every ``checkpoint_every``
-    rounds to truncate the plan.
+  * the dict is re-pinned and MATERIALIZED per iteration before the
+    previous pin is released (``cache_scope``-compatible), so each
+    merge reads the cached dict instead of replaying the chain; every
+    ``checkpoint_every`` rounds an EAGER ``localCheckpoint`` truncates
+    the lineage (superseded snapshots are dereferenced and reclaimed
+    by Spark's ContextCleaner).
 
 Reference parity: `/root/reference/src` has no tokenizer-training
 analog — this is part of the LLM-pipeline surface the reference lacks.
@@ -159,8 +161,16 @@ def bpe_train(
             merges.append((rank, a, b, a + b, c))
             nxt = _apply_merge(seg, a, b)
             if (rank + 1) % checkpoint_every == 0:
-                nxt = nxt.localCheckpoint(eager=False)
-            nxt = pin(nxt)
+                # eager: truncates lineage AND materializes in one pass.
+                # Superseded snapshots become unreachable once `seg` is
+                # reassigned and are reclaimed by the ContextCleaner.
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                # materialize the new pin BEFORE dropping the old one —
+                # unpersist-first would discard every cache fill unread
+                # and each iteration would recompute from the corpus
+                nxt = pin(nxt)
+                nxt.count()
             seg.unpersist()
             seg = nxt
     finally:

@@ -111,11 +111,12 @@ COPY (
         SELECT doc_id, text FROM read_parquet('{out}/ingest/*.parquet')
         ) TO '{hist2}' (FORMAT PARQUET)"""
     )
-    out2 = str(tmp_path / "curated2")
+    # SAME --output as epoch 1: --history-sig IS this run's own
+    # history_sig_next path — the staged write must swap it safely
     proc2 = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "jobs", "curate.py"),
-            "--input", dump, "--output", out2,
+            "--input", dump, "--output", out,
             "--history", hist2,
             "--history-sig", os.path.join(out, "history_sig_next"),
             "--sweeps", "ingest",
@@ -128,6 +129,8 @@ COPY (
     ing2 = rep2["sweeps"]["ingest"]
     assert ing2["sig_reused"] is True
     assert ing2["rows"] == 0
+    # the swapped artifact still reads back whole
+    assert ing2["sig_rows_next"] >= ing["sig_rows_next"]
 
 
 def test_curate_job_ingest_skip_without_history(tmp_path):

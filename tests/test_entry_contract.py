@@ -93,9 +93,10 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_rows_only_queries_run(spark):
-    """Queries without an oracle must still run and return a stable schema."""
-    qs = entrymod.queries()
-    for name in sorted(set(qs) - set(entrymod.oracle_sql())):
+    """Queries without an oracle — in BOTH pools — must still run and
+    return a stable schema (e.g. the iterative bpe_merges)."""
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    for name in sorted(set(qs) - set(ALL_ORACLES)):
         if name.startswith("extract"):
             continue  # pipeline queries covered by test_pipeline_spark
         df = qs[name](spark, SF_DIR)
