@@ -1609,3 +1609,29 @@ def test_minhash_incremental_degenerate_history(spark):
     }
     assert kept == {100_001}
     spark.catalog.clearCache()
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed propagation
+    must produce identical (id, component_id) tables; chains exercise
+    multi-hop merging."""
+    from smart_ocr_spark.functions import components as C
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 4)],
+        "doc_a long, doc_b long",
+    )
+    fast = sorted(
+        (r.id, r.component_id)
+        for r in C.connected_components(pairs).collect()
+    )
+    dist = sorted(
+        (r.id, r.component_id)
+        for r in C.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
+    )
+    assert fast == dist
+    comp = dict(fast)
+    assert comp[5] == comp[1] == 1          # chain 1-2-3-4-5 merged
+    assert comp[22] == comp[20] == 20
