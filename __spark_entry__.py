@@ -916,6 +916,19 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with stupid backoff, trained on the corpus
+    itself; bigram_size=2000 keeps a real backoff population at oracle
+    scale so BOTH scoring paths (in-model MLE and backoff×unigram) are
+    value-checked."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), bigram_size=2000
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents word-frequency dict: the first 12 learned merges
@@ -1644,6 +1657,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "media_ahash_neardup": q_media_ahash_neardup,
         "remove_dup_spans": q_remove_dup_spans,
         "bpe_merges": q_bpe_merges,
+        "text_bigram_lm": q_text_bigram_lm,
     }
 
 
@@ -1676,6 +1690,7 @@ _ROTATED_TO_EXTRA = (
     "media_ahash_neardup",
     "remove_dup_spans",
     "bpe_merges",
+    "text_bigram_lm",
 )
 
 
@@ -3281,6 +3296,52 @@ dups AS (SELECT DISTINCT s.new_id
 SELECT n.doc_id, CAST(len(n.text) AS BIGINT) AS n_chars
 FROM nd n LEFT JOIN dups ON dups.new_id = n.doc_id
 WHERE dups.new_id IS NULL
+""",
+        # Bigram LM with stupid backoff (Brants 2007): top-2000 bigram
+        # MLE with exact context counts; outside the model, 0.4 x the
+        # add-one-smoothed top-50k unigram probability (OOV floor).
+        "text_bigram_lm": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (SELECT tok, count(*) AS c_uni FROM
+  (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM t WHERE len(t) >= 2)),
+bic AS (SELECT w1, w2, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+bim AS (
+  SELECT b.w1, b.w2, b.c_bi, u.c_uni AS c_w1
+  FROM (SELECT * FROM bic ORDER BY c_bi DESC, w1 ASC, w2 ASC
+        LIMIT 2000) b
+  JOIN uni u ON u.tok = b.w1),
+vocab AS (SELECT tok, c_uni FROM uni
+  ORDER BY c_uni DESC, tok ASC LIMIT 50000),
+tot AS (SELECT (SELECT sum(c_uni) FROM uni) AS n_total,
+               (SELECT count(*) FROM vocab) AS v_size),
+scored AS (
+  SELECT p.doc_id, m.c_bi, m.c_w1, v.c_uni, tot.n_total, tot.v_size
+  FROM pairs p
+  LEFT JOIN bim m ON m.w1 = p.w1 AND m.w2 = p.w2
+  LEFT JOIN vocab v ON v.tok = p.w2
+  CROSS JOIN tot),
+lp AS (
+  SELECT doc_id, c_bi,
+    CASE WHEN c_bi IS NOT NULL
+         THEN log10(c_bi / CAST(c_w1 AS DOUBLE))
+         ELSE log10(0.4) + log10((coalesce(c_uni, 0) + 1)
+              / CAST(n_total + v_size AS DOUBLE)) END AS logp
+  FROM scored),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(sum(CASE WHEN c_bi IS NOT NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS bigram_hit_rate,
+    round(avg(logp), 4) + 0.0 AS avg_logprob
+  FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(p.n_bigrams, 0) AS n_bigrams,
+  coalesce(p.bigram_hit_rate, 0.0) AS bigram_hit_rate,
+  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
 """,
         # Exact-substring removal at disjoint 8-token blocks: keeper =
         # global min (doc_id, pos) per recurring block; reconstruction

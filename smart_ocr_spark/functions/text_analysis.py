@@ -401,3 +401,106 @@ def unigram_lm_scores(
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 50_000,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-doc bigram log-probability with STUPID BACKOFF (Brants et
+    al. 2007, "Large Language Models in Machine Translation") — the
+    next step up from :func:`unigram_lm_scores` toward ccnet's KenLM
+    filter, still fully deterministic and oracle-mirrorable.
+
+    Model (trained from the corpus itself, classic train-then-score):
+      * the ``bigram_size`` most frequent bigrams (ties toward the
+        lexicographically smaller pair), each row carrying its exact
+        context count — score ``log10(c(w1 w2) / c(w1))``;
+      * bigrams outside the model back off to ``backoff ×`` the
+        add-one-smoothed unigram probability of ``w2`` over the
+        ``vocab_size`` unigram vocabulary (OOV floor ``1/(N+V)``) —
+        stupid backoff's unnormalized score, the published trade for
+        distributed-scale LMs.
+
+    Scale shape: two token-grain aggregations train the model (both
+    results broadcast-sized BY CONSTRUCTION); scoring is two broadcast
+    joins + one doc-keyed agg; the corpus never joins itself.
+
+    Output: (id, n_bigrams, bigram_hit_rate, avg_logprob) — log10,
+    more negative = less LM-like; docs with < 2 tokens score 0.0.
+    """
+    toks = tokens_col(F.col(text_col))
+    tokd = df.select(F.col(id_col), toks.alias("t"))
+    n = F.size("t")
+    uni = tokd.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    pairs = tokd.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    bi_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bi")
+    )
+    bi_model = (
+        bi_counts.orderBy(F.desc("c_bi"), F.asc("w1"), F.asc("w2"))
+        .limit(bigram_size)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c_w1")), "w1")
+    )
+    vocab = uni.orderBy(F.desc("c_uni"), F.asc("tok")).limit(vocab_size)
+    totals = uni.agg(F.sum("c_uni").alias("n_total")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    )
+
+    scored = (
+        pairs.join(F.broadcast(bi_model), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("w2"), "c_uni")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    uni_logp = F.log10(F.lit(backoff)) + F.log10(
+        (F.coalesce(F.col("c_uni"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("v_size")).cast("double")
+    )
+    logp = F.when(
+        F.col("c_bi").isNotNull(),
+        F.log10(F.col("c_bi") / F.col("c_w1").cast("double")),
+    ).otherwise(uni_logp)
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("c_bi").isNotNull().cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("bigram_hit_rate"),
+        (F.round(F.avg(logp), 4) + F.lit(0.0)).alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("bigram_hit_rate", F.lit(0.0)).alias(
+                "bigram_hit_rate"
+            ),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -1635,3 +1635,29 @@ def test_connected_components_paths_agree(spark):
     comp = dict(fast)
     assert comp[5] == comp[1] == 1          # chain 1-2-3-4-5 merged
     assert comp[22] == comp[20] == 20
+
+
+def test_bigram_lm_stupid_backoff(spark):
+    """In-model bigrams score the exact MLE; unseen bigrams take
+    0.4 x the smoothed unigram probability; short docs score 0."""
+    import math
+
+    rows = [
+        (1, "the cat sat"), (2, "the cat ran"), (3, "the cat sat"),
+        (4, "dog"), (5, "zebra quokka"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ta.bigram_lm_scores(
+        df, bigram_size=2, vocab_size=100).collect()}
+    # top-2 bigrams: ('the','cat') c=3 and ('cat','sat') c=2
+    # doc 1: both bigrams in model: log10(3/3) + log10(2/3)
+    want1 = round((math.log10(3 / 3) + math.log10(2 / 3)) / 2, 4)
+    assert out[1].avg_logprob == want1
+    assert out[1].bigram_hit_rate == 1.0
+    # doc 5: bigram unseen -> backoff to 0.4 * smoothed unigram of
+    # 'quokka' (c=1, N=12 tokens, V=7 distinct)
+    want5 = round(math.log10(0.4) + math.log10((1 + 1) / (12 + 7)), 4)
+    assert out[5].avg_logprob == want5
+    assert out[5].bigram_hit_rate == 0.0
+    # single-token doc: no bigrams
+    assert out[4].n_bigrams == 0 and out[4].avg_logprob == 0.0
