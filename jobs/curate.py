@@ -206,19 +206,29 @@ def main() -> int:
                     out("history_sig_staging")
                 )
                 jvm = spark._jvm
-                fs = jvm.org.apache.hadoop.fs.Path(
-                    args.output
-                ).getFileSystem(spark._jsc.hadoopConfiguration())
-                dst = jvm.org.apache.hadoop.fs.Path(
-                    out("history_sig_next")
+                hpath = jvm.org.apache.hadoop.fs.Path
+                fs = hpath(args.output).getFileSystem(
+                    spark._jsc.hadoopConfiguration()
                 )
-                fs.delete(dst, True)
-                fs.rename(
-                    jvm.org.apache.hadoop.fs.Path(
-                        out("history_sig_staging")
-                    ),
-                    dst,
-                )
+                dst = hpath(out("history_sig_next"))
+                prev = hpath(out("history_sig_prev"))
+                # recoverable swap (rename failures on Hadoop FS report
+                # via a FALSE return, not an exception — check both):
+                # old -> _prev, staging -> dst, then drop _prev.  A
+                # crash mid-swap leaves _prev and/or staging on disk,
+                # never zero copies.
+                fs.delete(prev, True)
+                if fs.exists(dst) and not fs.rename(dst, prev):
+                    raise RuntimeError(
+                        f"could not stage aside {dst} -> {prev}"
+                    )
+                if not fs.rename(hpath(out("history_sig_staging")), dst):
+                    raise RuntimeError(
+                        f"rename of staged signature artifact to {dst} "
+                        "failed; previous epoch preserved at "
+                        f"{prev}"
+                    )
+                fs.delete(prev, True)
                 n_sig = spark.read.parquet(
                     out("history_sig_next")
                 ).count()
@@ -340,21 +350,25 @@ def main() -> int:
                 sp = spark.read.parquet(out("spans")).select(
                     "doc_id", F.col("cleaned_text").alias("__ct")
                 )
-                survivors = survivors.join(sp, "doc_id", "left").select(
-                    "doc_id",
-                    F.coalesce("__ct", "text").alias("text"),
-                    F.col("__ct").isNotNull().alias("__swapped"),
+                from smart_ocr_spark.functions.cache import pin as _pin
+
+                # pinned: three actions consume this join (swap count,
+                # emptied count, packing) — the sweep's cache_scope
+                # releases it
+                survivors = _pin(
+                    survivors.join(sp, "doc_id", "left").select(
+                        "doc_id",
+                        F.coalesce("__ct", "text").alias("text"),
+                        F.col("__ct").isNotNull().alias("__swapped"),
+                    )
                 )
                 n_spans_swapped = survivors.where("__swapped").count()
                 survivors = survivors.drop("__swapped")
                 # a fully-duplicated doc dedups to '' — drop it from
                 # the tapes, counted, never silent
-                n_emptied = survivors.where(
-                    F.length(F.trim("text")) == 0
-                ).count()
-                survivors = survivors.where(
-                    F.length(F.trim("text")) > 0
-                )
+                tlen = F.coalesce(F.length(F.trim("text")), F.lit(0))
+                n_emptied = survivors.where(tlen == 0).count()
+                survivors = survivors.where(tlen > 0)
             if out_exists("funnel"):
                 gates.append("funnel")
                 survivors = survivors.join(

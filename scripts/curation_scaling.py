@@ -66,6 +66,10 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
+    if args.replicas % 2 != 0:
+        ap.error("--replicas must be even: planted dup groups pair "
+                 "replicas (r, r^1); an odd count leaves singletons and "
+                 "breaks the constant-work invariant")
 
     from smart_ocr_spark.functions import curation, dedup
     from smart_ocr_spark.functions.cache import cache_scope, pin

@@ -27,12 +27,14 @@ _log = logging.getLogger(__name__)
 
 MAX_CC_ITERS = 25  # >= diameter of any sane near-dup component
 
-# Below this many edges the graph fits trivially on the driver and a
-# python union-find beats N rounds of distributed joins by two orders
-# of magnitude in LATENCY (each propagation round costs scheduling +
-# shuffle setup regardless of data size).  1M edges ≈ 16 MB of longs —
-# far under any driver limit; the distributed path takes over beyond.
-SMALL_GRAPH_EDGES = 1_000_000
+# Below this many DIRECTED edges (the doubled frame — i.e. half this
+# many input pairs) the graph fits comfortably on the driver and a
+# python union-find beats N rounds of distributed joins by orders of
+# magnitude in LATENCY (each propagation round costs scheduling +
+# shuffle setup regardless of data size).  200k directed edges collect
+# as ~200k Row objects — tens of MB of Python heap, a deliberate
+# conservative bound; the distributed path takes over beyond.
+SMALL_GRAPH_EDGES = 200_000
 
 
 def _driver_union_find(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -90,14 +92,21 @@ def connected_components(
         )
         edges.unpersist()
         _log.info(
-            "connected_components: small-graph path (%d edges) — "
-            "driver union-find", n_edges,
+            "connected_components: small-graph path (%d directed edges) "
+            "— driver union-find", n_edges,
         )
-        if not comp:
-            return spark.createDataFrame(
-                [], "id bigint, component_id bigint"
-            )
-        return spark.createDataFrame(comp, "id bigint, component_id bigint")
+        # schema mirrors the input id type exactly (string/int/long ids
+        # all valid), matching the distributed path's output
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField("id", id_type),
+                StructField("component_id", id_type),
+            ]
+        )
+        return spark.createDataFrame(comp, schema)
     # localCheckpoint per round: iterative self-joins otherwise grow the
     # logical plan linearly in rounds (each round's frame embeds the
     # whole history), which OOMs the DRIVER on plan analysis long before

@@ -1635,6 +1635,15 @@ def test_connected_components_paths_agree(spark):
     comp = dict(fast)
     assert comp[5] == comp[1] == 1          # chain 1-2-3-4-5 merged
     assert comp[22] == comp[20] == 20
+    # string-keyed graphs keep their id type on the fast path too
+    spairs = spark.createDataFrame(
+        [("u/a", "u/b"), ("u/b", "u/c"), ("u/x", "u/y")],
+        "doc_a string, doc_b string",
+    )
+    srows = C.connected_components(spairs)
+    assert dict(srows.dtypes)["id"] == "string"
+    got = {r.id: r.component_id for r in srows.collect()}
+    assert got["u/c"] == "u/a" and got["u/y"] == "u/x"
 
 
 def test_bigram_lm_stupid_backoff(spark):
