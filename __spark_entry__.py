@@ -916,6 +916,29 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-grain aHash near-dup over raw grayscale tapes: each doc's
+    printable-ASCII text IS the tape (64 bytes per frame), so repeated
+    documents/prefixes surface as cross-tape frame matches.  Same
+    banding-recall semantics as media_ahash_neardup; the oracle mirrors
+    pixels, mean, packing, and the chunk join at frame grain."""
+    from smart_ocr_spark.functions import multimodal
+
+    _ship(spark)
+    media = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("tape://"), F.col("doc_id")).alias("url"),
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^ -~]", ""), "UTF-8"
+        ).alias("payload"),
+    )
+    pairs = multimodal.frame_ahash_near_pairs(media, max_hamming=2)
+    return pairs.select(
+        F.col("doc_a").alias("frame_a"),
+        F.col("doc_b").alias("frame_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM scoring with stupid backoff, trained on the corpus
     itself; bigram_size=2000 keeps a real backoff population at oracle
@@ -1658,6 +1681,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "remove_dup_spans": q_remove_dup_spans,
         "bpe_merges": q_bpe_merges,
         "text_bigram_lm": q_text_bigram_lm,
+        "media_frame_neardup": q_media_frame_neardup,
     }
 
 
@@ -1691,6 +1715,7 @@ _ROTATED_TO_EXTRA = (
     "remove_dup_spans",
     "bpe_merges",
     "text_bigram_lm",
+    "media_frame_neardup",
 )
 
 
@@ -3296,6 +3321,49 @@ dups AS (SELECT DISTINCT s.new_id
 SELECT n.doc_id, CAST(len(n.text) AS BIGINT) AS n_chars
 FROM nd n LEFT JOIN dups ON dups.new_id = n.doc_id
 WHERE dups.new_id IS NULL
+""",
+        # Frame-grain aHash near-dup: the printable text is the raw
+        # grayscale tape, 64 bytes per frame (zero-padded tail; short
+        # docs are one padded frame), same packing + chunk join as
+        # media_ahash_neardup at frame_id = 'tape://doc#idx' grain.
+        "media_frame_neardup": """
+WITH g AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS p
+  FROM documents),
+fr AS (
+  SELECT doc_id, p,
+    unnest(generate_series(0, greatest(len(p) // 64, 1) - 1)) AS i
+  FROM g),
+px AS (
+  SELECT doc_id, i,
+    list_transform(generate_series(1, 64),
+      j -> CASE WHEN i * 64 + j <= len(p)
+                THEN ascii(p[i * 64 + j]) ELSE 0 END) AS pix
+  FROM fr),
+hv AS (
+  SELECT doc_id, i,
+    list_sum(list_transform(generate_series(1, 64),
+      j -> CASE WHEN pix[j] >= list_sum(pix) / 64.0
+                THEN 1::HUGEINT << (j - 1) ELSE 0::HUGEINT END)) AS v
+  FROM px),
+sh AS (
+  SELECT 'tape://' || doc_id || '#' || i AS frame_id,
+    CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+              THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+      AS ahash64,
+    v
+  FROM hv),
+chunks AS (
+  SELECT frame_id, ahash64, c, (v >> (c * 16)) & 65535::HUGEINT AS chunk
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+pairs AS (
+  SELECT DISTINCT a.frame_id AS frame_a, b.frame_id AS frame_b,
+         a.ahash64 AS ha, b.ahash64 AS hb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+   AND a.frame_id < b.frame_id)
+SELECT frame_a, frame_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 2
 """,
         # Bigram LM with stupid backoff (Brants 2007): top-2000 bigram
         # MLE with exact context counts; outside the model, 0.4 x the

@@ -341,3 +341,88 @@ def image_ahash_near_pairs(
         hashed, "ahash64", "url", max_hamming, bucket_cap,
         "image_ahash_near_pairs",
     )
+
+
+FRAME_AHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ahash64", LongType()),
+    ]
+)
+
+
+def frame_ahash64(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    grid: int = 8,
+    url_col: str = "url",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame average hash over a raw grayscale tape: the payload is
+    cut into fixed-stride ``frame_bytes`` windows (one frame each —
+    REAL for raw-gray video/sensor tapes, no codec needed; a real
+    ffmpeg decode plugs in at the same seam as
+    :func:`image_ahash64`'s ``decoder``), each hashed with the same
+    mean-threshold kernel.  Map-only; payload bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, hashes = [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                payload = bytes(payload or b"")
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    urls.append(url)
+                    idxs.append(i)
+                    hashes.append(_ahash64(decode_raw_gray(chunk, grid)))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ahash64": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(
+        run, FRAME_AHASH_SCHEMA
+    )
+
+
+def frame_ahash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    frame_bytes: int = 64,
+    grid: int = 8,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-duplicate FRAME pairs across the whole corpus (the shot /
+    still-frame dedup a video training pipeline runs): frame identity
+    is ``url#idx``; pairs via the shared SimHash pigeonhole
+    chunk-blocking core.  Intra-tape AND cross-tape near-dups both
+    surface; a consumer keeping one frame per near-dup class follows
+    with :func:`smart_ocr_spark.functions.components.canonical_docs`
+    on the string keys."""
+    from pyspark.sql import functions as F
+
+    from smart_ocr_spark.functions.cache import pin
+    from smart_ocr_spark.functions.dedup import hash64_near_pairs
+    from smart_ocr_spark.functions.similarity import BUCKET_FANIN_CAP
+
+    if bucket_cap is None:
+        bucket_cap = BUCKET_FANIN_CAP
+    hashed = pin(
+        frame_ahash64(df, frame_bytes, grid, url_col, payload_col).select(
+            F.concat_ws("#", "url", F.col("frame_idx").cast("string")).alias(
+                "frame_id"
+            ),
+            "ahash64",
+        )
+    )
+    return hash64_near_pairs(
+        hashed, "ahash64", "frame_id", max_hamming, bucket_cap,
+        "frame_ahash_near_pairs",
+    )

@@ -1670,3 +1670,28 @@ def test_bigram_lm_stupid_backoff(spark):
     assert out[5].bigram_hit_rate == 0.0
     # single-token doc: no bigrams
     assert out[4].n_bigrams == 0 and out[4].avg_logprob == 0.0
+
+
+def test_frame_ahash_near_pairs(spark):
+    """Raw grayscale tapes: repeated frames within a tape and shared
+    frames across tapes surface as near-dup pairs; distinct frames
+    don't."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    still = bytes(range(64))                       # a repeated "shot"
+    noise = lambda: bytes(rng.randint(0, 256, 64, dtype=np.uint8).tolist())
+    tape_a = still + noise() + still               # frames 0,1,2
+    tape_b = noise() + still                       # frames 0,1
+    rows = [("v://a", "video", tape_a), ("v://b", "video", tape_b)]
+    df = spark.createDataFrame(
+        rows, "url string, media_type string, payload binary"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in multimodal.frame_ahash_near_pairs(df).collect()
+    }
+    assert ("v://a#0", "v://a#2") in pairs          # intra-tape repeat
+    assert ("v://a#0", "v://b#1") in pairs          # cross-tape match
+    assert not any("a#1" in a or "a#1" in b for a, b in pairs)
+    spark.catalog.clearCache()
