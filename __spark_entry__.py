@@ -1700,7 +1700,6 @@ _ROTATED_TO_EXTRA = (
     "json_extract_rollup",
     "setop_untried",
     # round-5 NEW ops: overflow beyond the cap until a future rotation
-    "dedup_incremental_bloom",
     "dsir_importance",
     "quality_classifier",
     "seq_packing",
@@ -1710,12 +1709,16 @@ _ROTATED_TO_EXTRA = (
     "shuffle_shards",
     "shard_assembly",
     "dup_span_report",
-    "dedup_minhash_incremental",
-    "media_ahash_neardup",
-    "remove_dup_spans",
     "bpe_merges",
-    "text_bigram_lm",
     "media_frame_neardup",
+    # swapped OUT for the round-5 close so the newest ops get their
+    # first driver-recorded CORRECTNESS rows (these five carry 2-4
+    # rounds of green driver history and stay oracle-checked here):
+    "latex_blocks",
+    "score_levenshtein",
+    "consensus_discrepancies",
+    "calibration_rollup",
+    "multimodal_meta",
 )
 
 
