@@ -1046,6 +1046,41 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.host_stats(docs)
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter (RefinedWeb/UT1-style first curation
+    stage): hosts get deterministic www./m. subdomain variants so the
+    oracle value-checks all three behaviors — exact-host block,
+    subdomain-suffix block, and longest-match specificity (a doc whose
+    host matches two entries must report the longer one)."""
+    from smart_ocr_spark.functions import urls
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("www."))
+            .when(F.col("doc_id") % 7 == 0, F.lit("m."))
+            .otherwise(F.lit("")),
+            F.lit("site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [
+            ("site7.example.org",),
+            ("www.site10.example.org",),
+            ("site10.example.org",),
+            ("m.site14.example.org",),
+            ("example.net",),
+        ],
+        "domain string",
+    )
+    return urls.url_blocklist_filter(docs, bl)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import dedup
 
@@ -1682,6 +1717,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "bpe_merges": q_bpe_merges,
         "text_bigram_lm": q_text_bigram_lm,
         "media_frame_neardup": q_media_frame_neardup,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -1711,6 +1747,7 @@ _ROTATED_TO_EXTRA = (
     "dup_span_report",
     "bpe_merges",
     "media_frame_neardup",
+    "url_blocklist",
     # swapped OUT for the round-5 close so the newest ops get their
     # first driver-recorded CORRECTNESS rows (these five carry 2-4
     # rounds of green driver history and stay oracle-checked here):
@@ -3050,6 +3087,28 @@ SELECT host, count(*) AS n_docs,
   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM keep GROUP BY host
+""",
+        # domain blocklist: re-derives host, suffix chain, join, and
+        # longest-match pick with DuckDB's own list algebra
+        "url_blocklist": """
+WITH u AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'www.'
+       WHEN doc_id % 7 = 0 THEN 'm.' ELSE '' END
+  || 'site' || (doc_id % 50) || '.example.org' AS host
+  FROM documents),
+bl(domain) AS (VALUES ('site7.example.org'), ('www.site10.example.org'),
+  ('site10.example.org'), ('m.site14.example.org'), ('example.net')),
+labels AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM u),
+suf AS (SELECT doc_id, unnest(list_transform(
+    range(CAST(greatest(1, len(ls) - 9) AS BIGINT),
+          CAST(len(ls) + 1 AS BIGINT)),
+    i -> array_to_string(list_slice(ls, i, len(ls)), '.'))) AS suffix
+  FROM labels),
+hits AS (SELECT doc_id, arg_max(domain, length(domain)) AS matched_domain
+  FROM suf JOIN bl ON suffix = domain GROUP BY doc_id)
+SELECT u.doc_id, u.host, hits.doc_id IS NOT NULL AS blocked,
+  hits.matched_domain
+FROM u LEFT JOIN hits ON u.doc_id = hits.doc_id
 """,
         # the Bloom tier is plan-shape only: the oracle is the exact
         # anti-join the op must reproduce bit-for-bit

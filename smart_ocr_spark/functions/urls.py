@@ -22,7 +22,7 @@ oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # anchored match over one "k=v" (or bare "k") query token
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
@@ -102,6 +102,78 @@ def url_dedup_keep_list(
     return c.join(mins, "_uhash").select(
         F.col(id_col), "canonical_url", "host",
         (F.col(id_col) == F.col("_first_id")).alias("kept"),
+    )
+
+
+def host_suffix_chain(host: Column, max_labels: int = 10) -> Column:
+    """DNS suffix chain of a host, shortest ``max_labels`` suffixes
+    kept: ``a.b.example.org`` → ``[a.b.example.org, b.example.org,
+    example.org, org]``.  Blocklists hold registered domains (short
+    suffixes), so when a pathological host exceeds the cap it is the
+    LONG suffixes that drop — the registrable tail always survives."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    start = F.greatest(F.lit(1), n - F.lit(max_labels - 1))
+    return F.transform(
+        F.sequence(start, n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    max_labels: int = 10,
+) -> DataFrame:
+    """Domain-blocklist filter (the RefinedWeb/UT1-style first curation
+    stage: drop docs whose host IS a blocked domain or is a SUBDOMAIN
+    of one).  ``blocklist`` carries one lowercase registered domain per
+    row in column ``domain``.
+
+    Output: (id, host, blocked, matched_domain) — ``matched_domain``
+    is the LONGEST (most specific) blocklist entry that matched, NULL
+    when unblocked; the longest-match pick is deterministic because
+    the suffixes of one host have pairwise-distinct lengths.
+
+    Scale shape: subdomain matching is an EQUI-join, never an
+    endswith theta-join (which Spark can only execute as a broadcast
+    nested-loop — hopeless against a 4.6M-domain UT1-scale list).
+    Each host explodes into its ≤``max_labels`` DNS suffixes (bounded
+    fan-out, JVM-side) and joins the blocklist on the suffix; Spark
+    picks broadcast vs shuffle from the blocklist's actual size, a
+    hot blocked domain is an AQE-splittable join key (not a window),
+    and the per-doc longest-match reduction is a two-stage ``max``
+    aggregation that combines map-side."""
+    u = F.col(url_col)
+    base = df.select(F.col(id_col), host_col(u).alias("host"))
+    bl = blocklist.select(
+        F.lower(F.col("domain")).alias("_bl_domain")
+    ).distinct()
+    sufs = base.select(
+        id_col,
+        F.explode(host_suffix_chain(F.col("host"), max_labels)).alias(
+            "_suffix"
+        ),
+    )
+    hits = (
+        sufs.join(bl, sufs["_suffix"] == bl["_bl_domain"])
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("_bl_domain").alias("l"),
+                    F.col("_bl_domain").alias("d"),
+                )
+            ).alias("_m")
+        )
+    )
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "host",
+        F.col("_m").isNotNull().alias("blocked"),
+        F.col("_m.d").alias("matched_domain"),
     )
 
 

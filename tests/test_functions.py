@@ -803,6 +803,66 @@ def test_url_dedup_hot_mirror(spark):
     assert cold_kept == n // 2 + 1
 
 
+def test_url_blocklist_filter(spark):
+    """Domain-blocklist semantics: exact-host block, subdomain-suffix
+    block, longest-match specificity, and clean pass-through for
+    unlisted hosts and non-URLs."""
+    from smart_ocr_spark.functions import urls
+
+    rows = [
+        (0, "https://bad.example.org/x"),        # exact host entry
+        (1, "https://a.b.bad.example.org/y"),    # deep subdomain of it
+        (2, "https://www.bad.example.org/z"),    # matches TWO entries
+        (3, "https://good.example.org/ok"),      # unlisted
+        (4, "not a url"),                        # host '' — unlisted
+        (5, "https://org/"),                     # bare TLD host
+    ]
+    bl = spark.createDataFrame(
+        [("bad.example.org",), ("www.bad.example.org",), ("nope.net",)],
+        "domain string",
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r for r in urls.url_blocklist_filter(df, bl).collect()}
+    assert len(out) == len(rows)
+    assert out[0]["blocked"] and out[0]["matched_domain"] == "bad.example.org"
+    assert out[1]["blocked"] and out[1]["matched_domain"] == "bad.example.org"
+    # longest (most specific) entry wins when several match
+    assert out[2]["matched_domain"] == "www.bad.example.org"
+    for i in (3, 4, 5):
+        assert not out[i]["blocked"] and out[i]["matched_domain"] is None
+
+
+def test_url_blocklist_hot_domain_plan(spark):
+    """Scale shape: one blocked domain carrying half a 10k-doc corpus.
+    The subdomain match must be an equi-join (no BroadcastNestedLoop —
+    the endswith theta-join trap) and the longest-match reduction a
+    two-stage agg (partial_max, no Window)."""
+    from smart_ocr_spark.functions import urls
+
+    n = 10_000
+    rows = [
+        (i,
+         f"http://m{i % 3}.spam.example.net/p" if i % 2
+         else f"http://ok{i}.example.org/p")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"]).repartition(8)
+    bl = spark.createDataFrame([("spam.example.net",)], "domain string")
+    out_df = urls.url_blocklist_filter(df, bl)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+    out = out_df.collect()
+    assert len(out) == n
+    assert sum(1 for r in out if r["blocked"]) == n // 2
+    assert all(
+        r["matched_domain"] == "spam.example.net"
+        for r in out if r["blocked"]
+    )
+
+
 def test_unigram_lm_scores(spark):
     """LM quality signal: common-word prose scores higher (less
     negative) than rare-token noise; OOV rate reflects vocabulary
