@@ -1081,6 +1081,19 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.url_blocklist_filter(docs, bl)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by PMI over the corpus (phrase
+    mining for vocab/tokenizer work).  Counts are exact integers and
+    the score is a single log10 — no float accumulation — so the
+    DuckDB mirror is bit-exact including the top-k cutoff."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import dedup
 
@@ -1718,6 +1731,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "text_bigram_lm": q_text_bigram_lm,
         "media_frame_neardup": q_media_frame_neardup,
         "url_blocklist": q_url_blocklist,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -1748,6 +1762,7 @@ _ROTATED_TO_EXTRA = (
     "bpe_merges",
     "media_frame_neardup",
     "url_blocklist",
+    "pmi_collocations",
     # swapped OUT for the round-5 close so the newest ops get their
     # first driver-recorded CORRECTNESS rows (these five carry 2-4
     # rounds of green driver history and stay oracle-checked here):
@@ -3087,6 +3102,26 @@ SELECT host, count(*) AS n_docs,
   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM keep GROUP BY host
+""",
+        # PMI collocations: bigram-table marginals, one log10 over
+        # exact counts (no float accumulation), same tie-break
+        "pmi_collocations": f"""
+WITH t AS (SELECT {_TOKS_SQL} AS t FROM documents),
+pairs AS (SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM t WHERE len(t) >= 2)),
+bi AS (SELECT w1, w2, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+l AS (SELECT w1, sum(c_bi) AS c_left FROM bi GROUP BY 1),
+r AS (SELECT w2, sum(c_bi) AS c_right FROM bi GROUP BY 1),
+tot AS (SELECT sum(c_bi) AS n_bi FROM bi),
+rk AS (SELECT b.w1, b.w2, CAST(b.c_bi AS BIGINT) AS c_bi,
+  (CAST(b.c_bi AS DOUBLE) * CAST(tot.n_bi AS DOUBLE))
+    / (CAST(l.c_left AS DOUBLE) * CAST(r.c_right AS DOUBLE)) AS ratio
+FROM bi b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+WHERE b.c_bi >= 5
+ORDER BY ratio DESC, b.w1 ASC, b.w2 ASC
+LIMIT 100)
+SELECT w1, w2, c_bi, round(log10(ratio), 6) AS pmi FROM rk
 """,
         # domain blocklist: re-derives host, suffix chain, join, and
         # longest-match pick with DuckDB's own list algebra

@@ -504,3 +504,72 @@ def bigram_lm_scores(
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual
+    information (Church & Hanks 1990) — the phrase-mining pass a
+    tokenizer/vocab build runs over the corpus ("new york", "machine
+    learning" score high; "of the" scores low despite its raw count).
+
+    PMI is computed over the BIGRAM distribution with self-consistent
+    marginals: ``pmi = log10(c(w1,w2)·N / (c(w1,·)·c(·,w2)))`` where N
+    is the total bigram count and the marginals are row sums of the
+    bigram table itself (so the estimate never mixes token and bigram
+    normalizations).  The top-k CUTOFF orders by the raw ratio —
+    IEEE multiply/divide over exact integer counts, bit-identical in
+    any engine — because ``log10`` itself is libm-dependent (JVM vs
+    DuckDB differ by 1 ulp on some inputs); the reported ``pmi`` is
+    the log rounded to 6 places (monotone transform, same order).
+
+    Scale shape: one corpus pass builds the bigram counts (map-side
+    partials absorb hot bigrams); the ``min_count`` floor prunes the
+    long tail BEFORE the marginal joins (classic: most bigrams are
+    hapax); marginals are two further aggregations of the counts
+    table, joined back by vocab-keyed equi-joins (AQE picks broadcast
+    when they fit); the top-k is a TakeOrderedAndProject, never a
+    global sort materialization.  Deterministic tie-break: pmi desc,
+    then (w1, w2) lexicographic.
+    """
+    toks = tokens_col(F.col(text_col))
+    t = df.select(toks.alias("t"))
+    n = F.size("t")
+    pairs = t.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    left = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_left"))
+    right = bi.groupBy("w2").agg(F.sum("c_bi").alias("c_right"))
+    tot = bi.agg(F.sum("c_bi").alias("n_bi"))
+
+    ratio = (
+        F.col("c_bi").cast("double") * F.col("n_bi").cast("double")
+    ) / (F.col("c_left").cast("double") * F.col("c_right").cast("double"))
+    return (
+        bi.where(F.col("c_bi") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_bi", ratio.alias("_ratio"))
+        .orderBy(F.desc("_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+        .select(
+            "w1", "w2", "c_bi",
+            F.round(F.log10("_ratio"), 6).alias("pmi"),
+        )
+    )

@@ -863,6 +863,36 @@ def test_url_blocklist_hot_domain_plan(spark):
     )
 
 
+def test_pmi_collocations(spark):
+    """PMI semantics: an exclusive pair ('zip codes' only ever
+    co-occurring) outranks a frequent-but-promiscuous pair ('of the'
+    where both words also appear elsewhere); the min_count floor drops
+    rare pairs; plan is agg + TakeOrdered, no Window, no Python."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    rows = [(i, "zip codes of the city of the state of the region")
+            for i in range(6)]
+    rows += [(100 + i, "of it and the") for i in range(6)]
+    rows += [(200, "rare pair")]  # below min_count
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out_df = ta.pmi_collocations(df, min_count=5, top_k=50)
+    out = out_df.collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    assert ("rare", "pair") not in by_pair
+    assert ("zip", "codes") in by_pair and ("of", "the") in by_pair
+    assert by_pair[("zip", "codes")]["pmi"] > by_pair[("of", "the")]["pmi"]
+    assert by_pair[("of", "the")]["c_bi"] == 18
+    # top-k ordering is pmi desc then lexicographic
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_unigram_lm_scores(spark):
     """LM quality signal: common-word prose scores higher (less
     negative) than rare-token noise; OOV rate reflects vocabulary
