@@ -1094,6 +1094,47 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter: hosts below the K<25 cut carry a
+    planted robots body (a '*' group with Disallow/Allow/char-grain
+    prefix rules plus a DECOY group for another agent — if group
+    selection leaked, every doc would block and the oracle would
+    catch it); the oracle re-derives the rule table, the startswith
+    candidate join, and the longest-match/allow-wins pick in SQL."""
+    from smart_ocr_spark.functions import robots, urls
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 50
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), k.cast("string"), F.lit(".example.org"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/private/doc"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/private/ok/doc"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/public/doc"))
+            .otherwise(F.lit("/tmpstuff/doc")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /tmp\n"
+        "\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+    )
+    robots_df = (
+        pages.where(k < 25)
+        .select(urls.host_col(F.col("url")).alias("host"))
+        .distinct()
+        .withColumn("robots_txt", F.lit(body))
+    )
+    return robots.robots_filter(pages, robots_df)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_ocr_spark.functions import dedup
 
@@ -1732,6 +1773,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "media_frame_neardup": q_media_frame_neardup,
         "url_blocklist": q_url_blocklist,
         "pmi_collocations": q_pmi_collocations,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -1763,6 +1805,7 @@ _ROTATED_TO_EXTRA = (
     "media_frame_neardup",
     "url_blocklist",
     "pmi_collocations",
+    "robots_filter",
     # swapped OUT for the round-5 close so the newest ops get their
     # first driver-recorded CORRECTNESS rows (these five carry 2-4
     # rounds of green driver history and stay oracle-checked here):
@@ -3102,6 +3145,30 @@ SELECT host, count(*) AS n_docs,
   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM keep GROUP BY host
+""",
+        # robots.txt filter: the oracle bypasses text parsing (pinned
+        # by pytest) and re-derives the RULE table + startswith join +
+        # longest-match/allow-wins struct max directly
+        "robots_filter": """
+WITH u AS (SELECT doc_id,
+  'site' || (doc_id % 50) || '.example.org' AS host,
+  CASE doc_id % 4 WHEN 0 THEN '/private/doc' WHEN 1 THEN '/private/ok/doc'
+       WHEN 2 THEN '/public/doc' ELSE '/tmpstuff/doc' END
+  || doc_id AS path
+  FROM documents),
+rh AS (SELECT DISTINCT host FROM u WHERE doc_id % 50 < 25),
+rules AS (SELECT host, rp, allow FROM rh CROSS JOIN
+  (VALUES ('/private', false), ('/private/ok', true), ('/tmp', false))
+  r(rp, allow)),
+hits AS (SELECT doc_id,
+    max(struct_pack(l := length(rp), a := allow, p := rp)) AS w
+  FROM u JOIN rules USING (host)
+  WHERE starts_with(path, rp)
+  GROUP BY doc_id)
+SELECT u.doc_id, u.host, u.path,
+  coalesce(NOT (w).a, false) AS robots_blocked,
+  (w).p AS matched_rule
+FROM u LEFT JOIN hits ON u.doc_id = hits.doc_id
 """,
         # PMI collocations: bigram-table marginals, one log10 over
         # exact counts (no float accumulation), same tie-break
