@@ -36,7 +36,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from smart_ocr_spark.functions.urls import host_col
+from smart_ocr_spark.functions.urls import AUTHORITY_PREFIX, host_col
 
 _UA_RE = re.compile(r"^\s*user-agent\s*:\s*(\S+)", re.I)
 _RULE_RE = re.compile(r"^\s*(allow|disallow)\s*:\s*(\S*)", re.I)
@@ -50,7 +50,10 @@ def parse_robots_rules(text: str, agent: str = "*") -> list[tuple[str, bool]]:
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] | None = None
-    for line in (text or "").splitlines():
+    # RFC 9309 §2.3: skip a UTF-8 BOM — real robots.txt files carry
+    # one often enough that dropping it silently loses the first
+    # User-agent line and with it the whole group's rules
+    for line in (text or "").lstrip("\ufeff").splitlines():
         line = line.split("#", 1)[0]
         m = _UA_RE.match(line)
         if m:
@@ -101,7 +104,10 @@ def robots_rules_df(
             hosts, paths, allows, wilds, regexes, lens = [], [], [], [], [], []
             for host, text in zip(pdf[host_col_name], pdf[text_col]):
                 for path, allow in parse_robots_rules(text, agent):
-                    hosts.append(host)
+                    # page hosts arrive lowercased (urls.host_col);
+                    # normalize the robots side so the equi-join can't
+                    # miss on a mixed-case host row
+                    hosts.append((host or "").lower())
                     paths.append(path)
                     allows.append(allow)
                     wild = "*" in path or path.endswith("$")
@@ -145,9 +151,10 @@ def robots_filter(
         host_col(u).alias("host"),
         F.coalesce(
             F.nullif(
-                F.regexp_extract(
-                    u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
-                ),
+                # path+query, fragment dropped (RFC 9309 URI matching);
+                # authority prefix shared with urls.py so host and path
+                # extraction can never drift apart
+                F.regexp_extract(u, AUTHORITY_PREFIX + r"([^#]*)", 1),
                 F.lit(""),
             ),
             F.lit("/"),

@@ -27,9 +27,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 # anchored match over one "k=v" (or bare "k") query token
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
 
-_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
-_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
-_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+# scheme://authority prefix, shared with every module that splits URLs
+# (functions/robots.py) so host/path extraction can never drift between
+# ops that join on the host
+SCHEME_CHARS = r"[A-Za-z][A-Za-z0-9+.\-]*"
+AUTHORITY_PREFIX = rf"^{SCHEME_CHARS}://[^/?#]*"
+_SCHEME_RE = rf"^({SCHEME_CHARS})://"
+_HOSTPORT_RE = rf"^{SCHEME_CHARS}://([^/?#]*)"
+_PATH_RE = rf"{AUTHORITY_PREFIX}([^?#]*)"
 
 
 def host_col(url: Column) -> Column:

@@ -40,6 +40,27 @@ def test_parse_group_selection():
     assert parse_robots_rules("User-agent: a\nDisallow: /\n", "b") == []
 
 
+def test_parse_strips_bom():
+    """RFC 9309 §2.3: a UTF-8 BOM must not eat the first User-agent
+    line (and with it the whole group)."""
+    body = "﻿User-agent: *\nDisallow: /\n"
+    assert parse_robots_rules(body, "ccbot") == [("/", False)]
+
+
+def test_robots_mixed_case_host_row(spark):
+    """A mixed-case host in the robots TABLE must still apply: page
+    hosts arrive lowercased, so the robots side normalizes too."""
+    pages = spark.createDataFrame(
+        [(0, "https://Example.com/secret")], ["doc_id", "url"]
+    )
+    robots = spark.createDataFrame(
+        [("Example.com", "User-agent: *\nDisallow: /\n")],
+        ["host", "robots_txt"],
+    )
+    out = robots_filter(pages, robots).collect()
+    assert out[0]["robots_blocked"]
+
+
 def test_rule_regex():
     assert _rule_regex("/a/*.pdf$") == "^/a/.*\\.pdf$"
     assert _rule_regex("/a*b") == "^/a.*b"
