@@ -1094,6 +1094,25 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump freshness dedup over the planted messy URLs: each
+    doc gets a deterministic epoch capture time; per canonical URL the
+    newest capture (ties → larger id) survives.  The multiplier is
+    coprime to the modulus so ts ties DO occur across different URLs
+    but the (ts,id) tie-break is exercised within pairs."""
+    from smart_ocr_spark.functions import urls
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _planted_url_col().alias("url"),
+        (F.lit(1600000000) + (F.col("doc_id") * 7919) % 100000).alias(
+            "warc_ts"
+        ),
+    )
+    return urls.url_latest_revision(docs)
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filter: hosts below the K<25 cut carry a
     planted robots body (a '*' group with Disallow/Allow/char-grain
@@ -1774,6 +1793,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "url_blocklist": q_url_blocklist,
         "pmi_collocations": q_pmi_collocations,
         "robots_filter": q_robots_filter,
+        "url_latest_revision": q_url_latest_revision,
     }
 
 
@@ -1806,6 +1826,7 @@ _ROTATED_TO_EXTRA = (
     "url_blocklist",
     "pmi_collocations",
     "robots_filter",
+    "url_latest_revision",
     # swapped OUT for the round-5 close so the newest ops get their
     # first driver-recorded CORRECTNESS rows (these five carry 2-4
     # rounds of green driver history and stay oracle-checked here):
@@ -3136,6 +3157,18 @@ FROM flagged GROUP BY doc_id
 SELECT doc_id, canonical_url, host,
   doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS kept
 FROM canon
+""",
+        # freshness keeper: newest (ts, id) per canonical URL via the
+        # same struct-max shape the op uses (all planted ts non-NULL;
+        # the NULL branch is pinned by pytest)
+        "url_latest_revision": _URL_CANON_SQL + """
+, wts AS (SELECT doc_id, canonical_url,
+    1600000000 + (doc_id * 7919) % 100000 AS warc_ts FROM canon),
+best AS (SELECT canonical_url,
+    max(struct_pack(t := warc_ts, i := doc_id)) AS b
+  FROM wts GROUP BY canonical_url)
+SELECT w.doc_id, w.canonical_url, w.doc_id = (best.b).i AS kept
+FROM wts w JOIN best USING (canonical_url)
 """,
         "url_host_stats": _URL_CANON_SQL + """
 , keep AS (SELECT doc_id, canonical_url, host,

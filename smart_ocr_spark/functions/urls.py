@@ -110,6 +110,44 @@ def url_dedup_keep_list(
     )
 
 
+def url_latest_revision(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Cross-dump freshness dedup: keep the NEWEST capture per
+    canonical URL (CC-News-style recrawl handling — the complement of
+    :func:`url_dedup_keep_list`'s first-id-wins rule).  Keeper =
+    max ``(ts, id)`` lexicographic, so timestamp ties break to the
+    larger id deterministically; ``ts_col`` may be a timestamp or an
+    epoch integer (any orderable type).  NULL timestamps lose to any
+    non-NULL capture (and among all-NULL groups the max id wins).
+
+    Same skew-safe shape as the first-id keeper: two-stage
+    ``max(struct)`` aggregation keyed by ``xxhash64(canonical_url)``
+    (map-side partials absorb a hot recrawled URL), join-back on the
+    fixed-width hash, no window."""
+    c = with_canonical_url(df, url_col).withColumn(
+        "_uhash", F.xxhash64("canonical_url")
+    )
+    ts = F.col(ts_col)
+    best = c.groupBy("_uhash").agg(
+        F.max(
+            F.struct(
+                ts.isNotNull().alias("nn"),
+                ts.alias("t"),
+                F.col(id_col).alias("i"),
+            )
+        ).alias("_b")
+    )
+    return c.join(best, "_uhash").select(
+        F.col(id_col),
+        "canonical_url",
+        (F.col(id_col) == F.col("_b.i")).alias("kept"),
+    )
+
+
 def host_suffix_chain(host: Column, max_labels: int = 10) -> Column:
     """DNS suffix chain of a host, shortest ``max_labels`` suffixes
     kept: ``a.b.example.org`` → ``[a.b.example.org, b.example.org,

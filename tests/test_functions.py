@@ -863,6 +863,37 @@ def test_url_blocklist_hot_domain_plan(spark):
     )
 
 
+def test_url_latest_revision(spark):
+    """Freshness keeper: newest capture per canonical URL wins; ts
+    ties break to the larger id; NULL ts loses to any non-NULL (and
+    an all-NULL group falls back to max id); plan is the skew-safe
+    agg+join shape (no Window, partial_max)."""
+    from smart_ocr_spark.functions import urls
+
+    rows = [
+        (0, "http://a.example/p", 100),
+        (1, "http://a.example/p/", 300),    # canonical-same, newest
+        (2, "http://a.example/p#f", 200),
+        (3, "http://b.example/q", 50),
+        (4, "http://b.example/q", 50),      # ts tie -> larger id
+        (5, "http://c.example/r", None),    # NULL loses...
+        (6, "http://c.example/r", 10),      # ...to any non-NULL
+        (7, "http://d.example/s", None),    # all-NULL group:
+        (8, "http://d.example/s", None),    # max id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    out_df = urls.url_latest_revision(df)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial_max" in plan
+
+    out = {r["doc_id"]: r["kept"] for r in out_df.collect()}
+    assert len(out) == len(rows)
+    assert [i for i in (0, 1, 2) if out[i]] == [1]
+    assert [i for i in (3, 4) if out[i]] == [4]
+    assert [i for i in (5, 6) if out[i]] == [6]
+    assert [i for i in (7, 8) if out[i]] == [8]
+
+
 def test_pmi_collocations(spark):
     """PMI semantics: an exclusive pair ('zip codes' only ever
     co-occurring) outranks a frequent-but-promiscuous pair ('of the'
