@@ -42,6 +42,12 @@ Sweeps (each skippable; each writes parquet under --output):
                plus the stage-survival report.
   url        — canonical-URL keep-list + per-host stats (needs a `url`
                column; skipped with a warning otherwise).
+  compliance — UT1-style domain-blocklist filter (--blocklist parquet
+               with a `domain` column; suffix-chain equi-join) and/or
+               RFC 9309 robots.txt evaluation (--robots parquet with
+               (host, robots_txt); --robots-agent selects the group).
+               Writes per-doc verdicts + keep; skipped with a warning
+               unless a url column and at least one input exist.
   paragraph  — ccnet paragraph-grain dedup with doc reassembly.
   neardup    — MinHash-LSH near-dup pairs + component keep-list
                (functions/dedup.minhash_dedup_pairs + canonical_docs).
@@ -58,7 +64,7 @@ Sweeps (each skippable; each writes parquet under --output):
                cleaned_text + removal counts.
   shards     — final training-shard assembly: docs surviving every
                gate present under --output (funnel keep, neardup
-               keep-list, c4 page_keep — each applied iff its sweep
+               keep-list, c4 page_keep, compliance keep — each applied iff its sweep
                output exists, so earlier runs' gates compose; a spans
                output swaps in its span-deduped cleaned_text) are
                shuffled into --shards hash-uniform shards and packed
@@ -79,7 +85,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_SWEEPS = "funnel,url,paragraph,neardup,shards"
+DEFAULT_SWEEPS = "funnel,url,compliance,paragraph,neardup,shards"
 
 
 def main() -> int:
@@ -110,6 +116,16 @@ def main() -> int:
                     help="token budget per packed training sequence")
     ap.add_argument("--span-window", type=int, default=8,
                     help="token-block size for the spans sweep")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet with a `domain` column (UT1-style "
+                         "registered-domain blocklist) for the "
+                         "compliance sweep")
+    ap.add_argument("--robots", default=None,
+                    help="parquet with (host, robots_txt) for the "
+                         "compliance sweep")
+    ap.add_argument("--robots-agent", default="*",
+                    help="user-agent token evaluated against robots "
+                         "groups (default '*')")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -268,6 +284,60 @@ def main() -> int:
         else:
             report["sweeps"]["url"] = {"skipped": "no url column"}
 
+    if "compliance" in sweeps:
+        if "url" not in docs.columns:
+            report["sweeps"]["compliance"] = {"skipped": "no url column"}
+        elif not (args.blocklist or args.robots):
+            report["sweeps"]["compliance"] = {
+                "skipped": "no --blocklist/--robots"
+            }
+        else:
+            def compliance_sweep():
+                from smart_ocr_spark.functions import robots as robots_mod
+
+                verdict = docs.select("doc_id")
+                if args.blocklist:
+                    bl = spark.read.parquet(args.blocklist)
+                    verdict = verdict.join(
+                        urls.url_blocklist_filter(docs, bl), "doc_id"
+                    )
+                else:
+                    verdict = verdict.select(
+                        "doc_id",
+                        F.lit(False).alias("blocked"),
+                        F.lit(None).cast("string").alias("matched_domain"),
+                    )
+                if args.robots:
+                    rb = spark.read.parquet(args.robots)
+                    verdict = verdict.join(
+                        robots_mod.robots_filter(
+                            docs, rb, agent=args.robots_agent
+                        ).select(
+                            "doc_id", "robots_blocked", "matched_rule"
+                        ),
+                        "doc_id",
+                    )
+                else:
+                    verdict = verdict.withColumns(
+                        {
+                            "robots_blocked": F.lit(False),
+                            "matched_rule": F.lit(None).cast("string"),
+                        }
+                    )
+                verdict = verdict.withColumn(
+                    "keep",
+                    ~F.col("blocked") & ~F.col("robots_blocked"),
+                )
+                n = write(verdict, "compliance")
+                agg = spark.read.parquet(out("compliance")).agg(
+                    F.sum(F.col("blocked").cast("long")).alias("bl"),
+                    F.sum(F.col("robots_blocked").cast("long")).alias("rb"),
+                    F.sum(F.col("keep").cast("long")).alias("k"),
+                ).first()
+                return {"rows": n, "blocklist_blocked": agg["bl"],
+                        "robots_blocked": agg["rb"], "kept": agg["k"]}
+            run_sweep("compliance", compliance_sweep)
+
     if "paragraph" in sweeps:
         def paragraph_sweep():
             para = dedup.paragraph_dedup(docs)
@@ -387,6 +457,13 @@ def main() -> int:
                 survivors = survivors.join(
                     spark.read.parquet(out("c4"))
                     .where(F.col("page_keep")).select("doc_id"),
+                    "doc_id",
+                )
+            if out_exists("compliance"):
+                gates.append("compliance")
+                survivors = survivors.join(
+                    spark.read.parquet(out("compliance"))
+                    .where(F.col("keep")).select("doc_id"),
                     "doc_id",
                 )
             packed = packing.pack_shuffled(

@@ -148,3 +148,76 @@ def test_curate_job_ingest_skip_without_history(tmp_path):
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["sweeps"]["ingest"] == {"skipped": "no --history"}
     assert report["sweeps"]["funnel"]["rows"] > 0
+
+
+def test_curate_job_compliance_sweep(tmp_path, spark):
+    """Compliance sweep: domain blocklist + robots.txt verdicts gate
+    the shard assembly; per-source blocked counts reported."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"filler words document {i} body",
+                "https://"
+                + ("bad.example.org" if i < 5
+                   else "sub.bad.example.org" if i < 8
+                   else "good.example.net")
+                + ("/private/x" if 8 <= i < 12 else "/ok/x"),
+            )
+            for i in range(20)
+        ],
+        "doc_id long, text string, url string",
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(docs_path)
+    bl_path = str(tmp_path / "blocklist")
+    spark.createDataFrame(
+        [("bad.example.org",)], "domain string"
+    ).write.parquet(bl_path)
+    rb_path = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("good.example.net", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    ).write.parquet(rb_path)
+
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+            "--input", docs_path, "--output", out,
+            "--sweeps", "compliance,shards",
+            "--blocklist", bl_path, "--robots", rb_path,
+            "--master", "local[4]",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    comp = report["sweeps"]["compliance"]
+    # 5 exact-host + 3 subdomain-suffix blocklist hits; 4 robots hits
+    assert comp["rows"] == 20
+    assert comp["blocklist_blocked"] == 8
+    assert comp["robots_blocked"] == 4
+    assert comp["kept"] == 8
+    shards = report["sweeps"]["shards"]
+    assert shards["gates"] == ["compliance"]
+    assert shards["rows"] == 8
+    assert report["cache_empty"] is True
+
+
+def test_curate_job_compliance_skips_without_inputs(tmp_path):
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+            "--input", SF_DOCS, "--output", out,
+            "--sweeps", "compliance",
+            "--master", "local[4]",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["sweeps"]["compliance"] == {
+        "skipped": "no url column"
+    }
