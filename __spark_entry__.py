@@ -1097,9 +1097,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-dump freshness dedup over the planted messy URLs: each
     doc gets a deterministic epoch capture time; per canonical URL the
-    newest capture (ties → larger id) survives.  The multiplier is
-    coprime to the modulus so ts ties DO occur across different URLs
-    but the (ts,id) tie-break is exercised within pairs."""
+    newest capture survives.  Within a canonical pair the planted ts
+    always differ (multiplier coprime to the modulus), so this oracle
+    value-checks the newest-wins rule; the id tie-break and the NULL
+    lattice are pinned by pytest (test_url_latest_revision), not
+    driver-exercised."""
     from smart_ocr_spark.functions import urls
 
     _ship(spark)

@@ -295,28 +295,34 @@ def main() -> int:
             def compliance_sweep():
                 from smart_ocr_spark.functions import robots as robots_mod
 
-                verdict = docs.select("doc_id")
+                # both filters emit exactly one row per input doc, so
+                # the single-source case needs NO join — the second
+                # source (when given) joins onto the first
+                verdict = None
                 if args.blocklist:
                     bl = spark.read.parquet(args.blocklist)
-                    verdict = verdict.join(
-                        urls.url_blocklist_filter(docs, bl), "doc_id"
-                    )
-                else:
-                    verdict = verdict.select(
-                        "doc_id",
-                        F.lit(False).alias("blocked"),
-                        F.lit(None).cast("string").alias("matched_domain"),
-                    )
+                    verdict = urls.url_blocklist_filter(docs, bl)
                 if args.robots:
                     rb = spark.read.parquet(args.robots)
-                    verdict = verdict.join(
-                        robots_mod.robots_filter(
-                            docs, rb, agent=args.robots_agent
-                        ).select(
-                            "doc_id", "robots_blocked", "matched_rule"
-                        ),
-                        "doc_id",
+                    rf = robots_mod.robots_filter(
+                        docs, rb, agent=args.robots_agent
                     )
+                    if verdict is None:
+                        verdict = rf.select(
+                            "doc_id", "host",
+                            F.lit(False).alias("blocked"),
+                            F.lit(None).cast("string").alias(
+                                "matched_domain"
+                            ),
+                            "robots_blocked", "matched_rule",
+                        )
+                    else:
+                        verdict = verdict.join(
+                            rf.select(
+                                "doc_id", "robots_blocked", "matched_rule"
+                            ),
+                            "doc_id",
+                        )
                 else:
                     verdict = verdict.withColumns(
                         {
@@ -439,33 +445,36 @@ def main() -> int:
                 tlen = F.coalesce(F.length(F.trim("text")), F.lit(0))
                 n_emptied = survivors.where(tlen == 0).count()
                 survivors = survivors.where(tlen > 0)
+            # keep/drop gates share one shape; a doc ABSENT from a
+            # gate's verdict table (a stale output from an earlier
+            # epoch under the same --output) is dropped like a
+            # keep=false doc, but COUNTED per gate — cross-epoch
+            # staleness must never be silent
+            gate_absent: dict[str, int] = {}
+
+            def apply_gate(name: str, sub: str, keep_col: str | None):
+                nonlocal survivors
+                verdicts = spark.read.parquet(out(sub))
+                n_absent = survivors.join(
+                    verdicts.select("doc_id"), "doc_id", "left_anti"
+                ).count()
+                if keep_col is not None:
+                    verdicts = verdicts.where(F.col(keep_col))
+                survivors = survivors.join(
+                    verdicts.select("doc_id"), "doc_id"
+                )
+                gates.append(name)
+                if n_absent:
+                    gate_absent[name] = n_absent
+
             if out_exists("funnel"):
-                gates.append("funnel")
-                survivors = survivors.join(
-                    spark.read.parquet(out("funnel"))
-                    .where(F.col("keep")).select("doc_id"),
-                    "doc_id",
-                )
+                apply_gate("funnel", "funnel", "keep")
             if out_exists("neardup_keep"):
-                gates.append("neardup")
-                survivors = survivors.join(
-                    spark.read.parquet(out("neardup_keep")).select("doc_id"),
-                    "doc_id",
-                )
+                apply_gate("neardup", "neardup_keep", None)
             if out_exists("c4"):
-                gates.append("c4")
-                survivors = survivors.join(
-                    spark.read.parquet(out("c4"))
-                    .where(F.col("page_keep")).select("doc_id"),
-                    "doc_id",
-                )
+                apply_gate("c4", "c4", "page_keep")
             if out_exists("compliance"):
-                gates.append("compliance")
-                survivors = survivors.join(
-                    spark.read.parquet(out("compliance"))
-                    .where(F.col("keep")).select("doc_id"),
-                    "doc_id",
-                )
+                apply_gate("compliance", "compliance", "keep")
             packed = packing.pack_shuffled(
                 survivors, budget=args.seq_len, n_shards=args.shards
             )
@@ -483,7 +492,8 @@ def main() -> int:
             return {"rows": n, "gates": gates, "shards": nm,
                     "seq_len": args.seq_len,
                     "spans_swapped": n_spans_swapped,
-                    "emptied_dropped": n_emptied}
+                    "emptied_dropped": n_emptied,
+                    "gate_absent_dropped": gate_absent}
         run_sweep("shards", shards_sweep)
 
     # the seam's runtime evidence: nothing pinned survives its sweep

@@ -205,7 +205,7 @@ def test_curate_job_compliance_sweep(tmp_path, spark):
     assert report["cache_empty"] is True
 
 
-def test_curate_job_compliance_skips_without_inputs(tmp_path):
+def test_curate_job_compliance_skips_without_url_column(tmp_path):
     out = str(tmp_path / "curated")
     proc = subprocess.run(
         [
@@ -221,3 +221,31 @@ def test_curate_job_compliance_skips_without_inputs(tmp_path):
     assert report["sweeps"]["compliance"] == {
         "skipped": "no url column"
     }
+
+
+def test_curate_job_compliance_skips_without_inputs(tmp_path, spark):
+    """A url-bearing corpus with neither --blocklist nor --robots (the
+    DEFAULT_SWEEPS shape for any web corpus) must skip-report, not
+    crash or emit an all-keep verdict."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text", f"https://h{i}.example/p") for i in range(5)],
+        "doc_id long, text string, url string",
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(docs_path)
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+            "--input", docs_path, "--output", out,
+            "--sweeps", "compliance",
+            "--master", "local[4]",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["sweeps"]["compliance"] == {
+        "skipped": "no --blocklist/--robots"
+    }
+    assert not os.path.exists(os.path.join(out, "compliance"))
