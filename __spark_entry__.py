@@ -967,6 +967,26 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (the other half of the BPE story): train
+    12 merges on the corpus word dict, then encode every doc and
+    report (doc_id, n_tokens, n_subwords) — the compression-ratio
+    table a tokenizer build ends with and the real token counter the
+    shard packer would use.  Greedy rank-order merge application is
+    iterative per word — non-SQL-expressible, so rows-only at the
+    driver; the encoder is pinned against a pure-python reference in
+    tests/test_bpe.py."""
+    from smart_ocr_spark.functions import bpe
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.bpe_train(docs, n_merges=12).collect()
+    ]
+    return bpe.bpe_segment(docs, merges)
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2022 exact-substring REMOVAL at disjoint 8-token
     block grain: corpus-recurring blocks survive only at their global
@@ -1796,6 +1816,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "pmi_collocations": q_pmi_collocations,
         "robots_filter": q_robots_filter,
         "url_latest_revision": q_url_latest_revision,
+        "bpe_encode_stats": q_bpe_encode_stats,
     }
 
 
@@ -1829,6 +1850,7 @@ _ROTATED_TO_EXTRA = (
     "pmi_collocations",
     "robots_filter",
     "url_latest_revision",
+    "bpe_encode_stats",
     # swapped OUT for the round-5 close so the newest ops get their
     # first driver-recorded CORRECTNESS rows (these five carry 2-4
     # rounds of green driver history and stay oracle-checked here):
