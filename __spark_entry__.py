@@ -678,6 +678,23 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ccnet head/middle/tail split: per-lang exact tercile cutoffs
+    over the unigram-LM scores, higher log-prob = head.  The oracle
+    re-derives the scores, the per-lang quantile_cont cutoffs, and
+    the CASE bucketing — interpolated percentiles are pure IEEE
+    arithmetic over the round(…,4)-ed scores, so the compare is
+    exact."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = ta.unigram_lm_scores(docs, vocab_size=500).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ta.perplexity_buckets(scored)
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bag models on target (lang='en') vs the raw pool; per-doc log10
@@ -1817,6 +1834,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "robots_filter": q_robots_filter,
         "url_latest_revision": q_url_latest_revision,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "lm_perplexity_buckets": q_lm_perplexity_buckets,
     }
 
 
@@ -1851,6 +1869,7 @@ _ROTATED_TO_EXTRA = (
     "robots_filter",
     "url_latest_revision",
     "bpe_encode_stats",
+    "lm_perplexity_buckets",
     # swapped OUT for the round-5 close so the newest ops get their
     # first driver-recorded CORRECTNESS rows (these five carry 2-4
     # rounds of green driver history and stay oracle-checked here):
@@ -3149,6 +3168,38 @@ SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
   coalesce(p.oov_rate, 0.0) AS oov_rate,
   coalesce(p.avg_logprob, 0.0) AS avg_logprob
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+""",
+        # ccnet head/middle/tail: per-lang tercile cutoffs over the
+        # unigram-LM scores (quantile_cont == Spark percentile: both
+        # linear-interpolate at p*(n-1)); CASE/NULL fall-through
+        # mirrors the when-chain
+        "lm_perplexity_buckets": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok, c FROM (
+    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+    FROM cnt) WHERE rn <= 500),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS n_total,
+               (SELECT count(*) FROM vocab) AS v_size),
+scored AS (SELECT t.doc_id, v.c, tot.n_total, tot.v_size
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok CROSS JOIN tot),
+per AS (SELECT doc_id,
+    round(avg(log10((coalesce(c, 0) + 1)
+                    / CAST(n_total + v_size AS DOUBLE))), 4) + 0.0
+      AS avg_logprob
+  FROM scored GROUP BY doc_id),
+sc AS (SELECT d.doc_id, d.lang,
+    coalesce(p.avg_logprob, 0.0) AS avg_logprob
+  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+cuts AS (SELECT lang,
+    quantile_cont(avg_logprob,
+                  [{1.0 / 3.0!r}, {2.0 / 3.0!r}]) AS q
+  FROM sc GROUP BY lang)
+SELECT sc.doc_id, sc.lang, sc.avg_logprob,
+  CASE WHEN sc.avg_logprob >= q[2] THEN 'head'
+       WHEN sc.avg_logprob >= q[1] THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM sc LEFT JOIN cuts USING (lang)
 """,
         # ccnet paragraph dedup: first occurrence by (doc, pos) wins
         # corpus-wide; blanks never dedup; docs reassemble in order

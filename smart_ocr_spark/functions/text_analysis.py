@@ -573,3 +573,76 @@ def pmi_collocations(
             F.round(F.log10("_ratio"), 6).alias("pmi"),
         )
     )
+
+
+def lm_bucket_cutoffs(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    lang_col: str = "lang",
+    fracs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    sample_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "ppl0",
+) -> DataFrame:
+    """Per-language LM-score cutoffs at the given quantiles — the
+    artifact behind ccnet's head/middle/tail split (Wenzek et al.
+    2020 compute per-lang perplexity thresholds once, on a sample,
+    then ship them).  Returns a tiny (lang, cut_lo, cut_hi) frame.
+
+    Scale: EXACT linear-interpolated percentile gathers each
+    language's values onto one reducer, so production corpora must
+    pass ``sample_fraction`` sized to the reducer — the sample is the
+    md5-hash rule from :mod:`sampling` (engine-reproducible,
+    partition-independent), exactly how ccnet sizes its cutoff
+    training set.  At oracle scale the default full pass keeps the
+    compare exact."""
+    from smart_ocr_spark.functions.sampling import deterministic_sample
+
+    s = scored
+    if sample_fraction < 1.0:
+        s = deterministic_sample(
+            scored, sample_fraction, id_col=id_col, salt=salt
+        )
+    pct = F.percentile(
+        F.col(score_col), F.array(*[F.lit(float(f)) for f in fracs])
+    )
+    return s.groupBy(lang_col).agg(pct.alias("_cuts")).select(
+        lang_col,
+        F.col("_cuts")[0].alias("cut_lo"),
+        F.col("_cuts")[1].alias("cut_hi"),
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    cutoffs: DataFrame | None = None,
+    score_col: str = "avg_logprob",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    **cutoff_kwargs,
+) -> DataFrame:
+    """ccnet head/middle/tail bucketing: HIGHER score (log-prob) =
+    more LM-like = ``head``; the middle third is what ccnet keeps by
+    default and the tail is noise.  Pass a precomputed ``cutoffs``
+    frame (the shipped-artifact workflow) or let it derive one via
+    :func:`lm_bucket_cutoffs`.
+
+    Docs whose language is absent from the cutoffs table (possible
+    under cutoff sampling) fall to ``tail`` — the conservative
+    bucket; NULL comparisons fall through a CASE identically in SQL,
+    so the oracle mirrors bit-for-bit.  The cutoff join broadcasts
+    (one row per language)."""
+    if cutoffs is None:
+        cutoffs = lm_bucket_cutoffs(
+            scored, score_col, lang_col, **cutoff_kwargs
+        )
+    j = scored.join(F.broadcast(cutoffs), lang_col, "left")
+    bucket = (
+        F.when(F.col(score_col) >= F.col("cut_hi"), F.lit("head"))
+        .when(F.col(score_col) >= F.col("cut_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        F.col(id_col), F.col(lang_col), F.col(score_col),
+        bucket.alias("bucket"),
+    )

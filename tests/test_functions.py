@@ -863,6 +863,42 @@ def test_url_blocklist_hot_domain_plan(spark):
     )
 
 
+def test_perplexity_buckets(spark):
+    """ccnet head/middle/tail: per-lang terciles, higher score = head;
+    langs absent from a (sampled) cutoffs table fall to tail; shipped
+    cutoffs are honored verbatim."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    rows = [(i, "en", float(-i)) for i in range(9)]          # 0..-8
+    rows += [(100 + i, "de", -10.0 * i) for i in range(9)]   # own scale
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_logprob double"
+    )
+    out = {r["doc_id"]: r["bucket"]
+           for r in ta.perplexity_buckets(scored).collect()}
+    # en: scores 0..-8 -> head is the top third (>= tercile cutoffs)
+    assert out[0] == out[1] == out[2] == "head"
+    assert out[4] == "middle"
+    assert out[7] == out[8] == "tail"
+    # de buckets on ITS terciles, not en's
+    assert out[100] == "head" and out[108] == "tail"
+
+    # shipped-artifact path: explicit cutoffs honored; unknown lang -> tail
+    cuts = spark.createDataFrame(
+        [("en", -6.0, -2.0)], "lang string, cut_lo double, cut_hi double"
+    )
+    out2 = {r["doc_id"]: r["bucket"]
+            for r in ta.perplexity_buckets(scored, cutoffs=cuts).collect()}
+    assert out2[0] == "head" and out2[4] == "middle" and out2[8] == "tail"
+    assert all(out2[100 + i] == "tail" for i in range(9))  # no de cutoffs
+
+    # sampled-cutoff path runs and emits one row per input doc
+    sampled = ta.perplexity_buckets(scored, sample_fraction=0.5)
+    assert sampled.count() == len(rows)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_url_latest_revision(spark):
     """Freshness keeper: newest capture per canonical URL wins; ts
     ties break to the larger id; NULL ts loses to any non-NULL (and
