@@ -689,8 +689,13 @@ def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship(spark)
     docs = _t(spark, sf_dir, "documents")
-    scored = ta.unigram_lm_scores(docs, vocab_size=500).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # n_tokens > 0: empty docs carry the 0.0 sentinel score (the max —
+    # real log10 probs are negative) and would inflate the cutoffs and
+    # bucket as head; ccnet drops unscoreable docs before bucketing
+    scored = (
+        ta.unigram_lm_scores(docs, vocab_size=500)
+        .where(F.col("n_tokens") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
     )
     return ta.perplexity_buckets(scored)
 
@@ -997,9 +1002,14 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship(spark)
     docs = _t(spark, sf_dir, "documents")
+    # rank order IS merge priority in the greedy encoder — sort
+    # explicitly instead of trusting collect() row order
     merges = [
         (r["left"], r["right"])
-        for r in bpe.bpe_train(docs, n_merges=12).collect()
+        for r in sorted(
+            bpe.bpe_train(docs, n_merges=12).collect(),
+            key=lambda r: r["rank"],
+        )
     ]
     return bpe.bpe_segment(docs, merges)
 
@@ -3188,9 +3198,10 @@ per AS (SELECT doc_id,
                     / CAST(n_total + v_size AS DOUBLE))), 4) + 0.0
       AS avg_logprob
   FROM scored GROUP BY doc_id),
-sc AS (SELECT d.doc_id, d.lang,
-    coalesce(p.avg_logprob, 0.0) AS avg_logprob
-  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+-- inner join: docs with zero tokens have no per row (the sentinel
+-- 0.0 would inflate the cutoffs); mirrors the n_tokens > 0 filter
+sc AS (SELECT d.doc_id, d.lang, p.avg_logprob
+  FROM documents d JOIN per p ON p.doc_id = d.doc_id),
 cuts AS (SELECT lang,
     quantile_cont(avg_logprob,
                   [{1.0 / 3.0!r}, {2.0 / 3.0!r}]) AS q

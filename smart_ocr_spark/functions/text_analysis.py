@@ -631,10 +631,28 @@ def perplexity_buckets(
     under cutoff sampling) fall to ``tail`` — the conservative
     bucket; NULL comparisons fall through a CASE identically in SQL,
     so the oracle mirrors bit-for-bit.  The cutoff join broadcasts
-    (one row per language)."""
+    (one row per language).
+
+    Filter out sentinel-scored rows FIRST: scorers that coalesce
+    unscoreable docs to a fixed value (``unigram_lm_scores`` gives
+    empty docs 0.0 — the maximum, since real log10 probs are
+    negative) would otherwise inflate the cutoffs and bucket garbage
+    as ``head``.  When deriving cutoffs, ``scored`` is consumed twice
+    (cutoff aggregation + probe side) and is therefore :func:`pin`-ed
+    — release it with a surrounding ``cache_scope()`` in sweep-shaped
+    jobs, or pass precomputed ``cutoffs`` to skip the pin."""
     if cutoffs is None:
+        from smart_ocr_spark.functions.cache import pin
+
+        scored = pin(scored)
+        cutoff_kwargs.setdefault("id_col", id_col)
         cutoffs = lm_bucket_cutoffs(
             scored, score_col, lang_col, **cutoff_kwargs
+        )
+    elif cutoff_kwargs:
+        raise ValueError(
+            "cutoff_kwargs have no effect when an explicit cutoffs "
+            f"frame is passed: {sorted(cutoff_kwargs)}"
         )
     j = scored.join(F.broadcast(cutoffs), lang_col, "left")
     bucket = (

@@ -898,6 +898,38 @@ def test_perplexity_buckets(spark):
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
 
+    # kwargs alongside explicit cutoffs are a caller bug, not a no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample_fraction"):
+        ta.perplexity_buckets(scored, cutoffs=cuts, sample_fraction=0.5)
+
+
+def test_perplexity_buckets_sentinel_scores(spark):
+    """The full pipeline must drop unscoreable docs before bucketing:
+    unigram_lm_scores coalesces empty docs to 0.0 — the MAXIMUM score
+    (real log10 probs are negative) — which would otherwise inflate
+    the cutoffs and bucket garbage as head."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    # i junk hapax tokens per doc -> strictly decreasing avg logprob
+    rows = [(i, "en",
+             "the data table joins the data rows "
+             + " ".join(f"zzqx{i}x{j}" for j in range(i)))
+            for i in range(6)]
+    rows += [(100 + i, "en", "   ") for i in range(6)]  # whitespace-only
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    scored = (
+        ta.unigram_lm_scores(docs)
+        .where("n_tokens > 0")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    out = {r["doc_id"]: r["bucket"]
+           for r in ta.perplexity_buckets(scored).collect()}
+    # empty docs excluded entirely; real docs still split into terciles
+    assert all(100 + i not in out for i in range(6))
+    assert len(out) == 6 and set(out.values()) == {"head", "middle", "tail"}
+
 
 def test_url_latest_revision(spark):
     """Freshness keeper: newest capture per canonical URL wins; ts
