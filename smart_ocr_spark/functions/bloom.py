@@ -163,7 +163,15 @@ def bloom_maybe_seen(
         if not len(left):
             return left.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(right):
+            # a bucket may carry SEVERAL state rows (multi-epoch union
+            # passed without merge_bloom_states) — bitmaps are
+            # OR-mergeable by construction, so fold them all in rather
+            # than silently probing only the first (which would flag
+            # genuinely-seen keys definitely-new and leak duplicates
+            # past the exact confirm)
             bits = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+            for extra in right["bitmap"].iloc[1:]:
+                bits = bits | np.frombuffer(extra, dtype=np.uint8)
             pos = _positions(
                 left["__h1"].to_numpy(), left["__h2"].to_numpy(),
                 n_hashes, m_bits,

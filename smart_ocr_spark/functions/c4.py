@@ -52,7 +52,10 @@ def c4_clean(
     """
     if min_words < 0 or min_sentences < 0:
         raise ValueError("min_words/min_sentences must be non-negative")
-    lines = F.split(F.col(text_col), "\n")
+    # NULL text behaves as "" (zero kept lines, page_keep false) —
+    # split(NULL) would otherwise propagate NULL through every output
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
 
     def line_ok(x):
         t = F.trim(x)
@@ -68,8 +71,8 @@ def c4_clean(
     kept = F.filter(lines, line_ok)
     cleaned = F.array_join(kept, "\n")
     n_sentences = (F.size(F.split(cleaned, "[.!?]")) - 1).cast("bigint")
-    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
-    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
     return df.select(
         F.col(id_col),
         F.size(lines).cast("bigint").alias("n_lines"),

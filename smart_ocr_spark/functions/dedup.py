@@ -443,9 +443,15 @@ def paragraph_dedup(
     (exchange reusable).  Output: (id, n_paras, n_kept, cleaned_text);
     docs whose every paragraph lost reassemble to "".
     """
+    # NULL text behaves as "" (one blank paragraph) so the "every input
+    # doc must appear" contract below holds for NULL-text docs too —
+    # posexplode of split(NULL) emits ZERO rows and would silently drop
+    # the doc from the output
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
+        ).alias("pos", "para"),
     )
     # blank fragments (produced by runs of separators) carry no content
     # and must not dedup against each other across the corpus — they
@@ -515,9 +521,12 @@ def line_dedup_within_doc(
     Output: (id, n_lines, n_kept, cleaned_text).  Blank lines carry no
     content and are all kept in place (they are structure, not text —
     and dropping "every blank line after the first" would glue
-    unrelated sections together).
+    unrelated sections together).  NULL text behaves as "" (one blank
+    line) — split(NULL) propagates NULL through every output column
+    otherwise, inconsistent with the NULL-sentinel handling in
+    :func:`exact_dedup` / :func:`paragraph_dedup`.
     """
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     is_keeper = (
         lambda x, i: (F.length(F.trim(x)) == 0)
         | (F.array_position(lines, x) == i + 1)

@@ -345,7 +345,19 @@ def stream_neardup_dedup(
         arrivals = []
         for pdf in pdfs:
             for tup in pdf.itertuples(index=False):
-                arrivals.append((tup.url, [getattr(tup, c) for c in sig_cols]))
+                s = [getattr(tup, c) for c in sig_cols]
+                # state packs signatures as '|'.join(s); minhash sigs
+                # are md5 hex today, but a future signature encoding
+                # containing '|' would silently corrupt restored state
+                # across restarts — enforce the delimiter assumption
+                # loudly instead of leaving it implicit
+                if any("|" in c for c in s):
+                    raise ValueError(
+                        "signature component contains the state "
+                        "delimiter '|' — state packing would corrupt "
+                        f"across restarts (url={tup.url!r})"
+                    )
+                arrivals.append((tup.url, s))
         arrivals.sort(key=lambda a: a[0])  # deterministic in-batch order
         for url, s in arrivals:
             best, best_est = None, 0.0

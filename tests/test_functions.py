@@ -1884,3 +1884,70 @@ def test_frame_ahash_near_pairs(spark):
     assert ("v://a#0", "v://b#1") in pairs          # cross-tape match
     assert not any("a#1" in a or "a#1" in b for a, b in pairs)
     spark.catalog.clearCache()
+
+
+def test_bloom_maybe_seen_multi_epoch_state_union(spark):
+    """ADVICE r5: a multi-epoch state UNION passed without
+    merge_bloom_states must still probe EVERY epoch's bitmap — a seen
+    key flagging maybe_seen=False would leak duplicates past the exact
+    confirm while advertising an exact result."""
+    from smart_ocr_spark.functions import bloom
+
+    docs = spark.createDataFrame(
+        [(i, f"epoch body {i}") for i in range(300)], ["doc_id", "text"]
+    )
+    a = bloom.build_bloom_state(docs.where("doc_id < 150"), "text", n_buckets=4)
+    b = bloom.build_bloom_state(docs.where("doc_id >= 150"), "text", n_buckets=4)
+    stacked = a.unionByName(b)  # two state rows per bucket, NOT merged
+    replay = bloom.bloom_maybe_seen(docs, stacked, "text", n_buckets=4)
+    # the Bloom guarantee must hold across BOTH epochs' rows
+    assert replay.where(~F.col("maybe_seen")).count() == 0
+    # and incremental_new_keys stays exact with the stacked state:
+    # every doc is in history, so none may come back as new (before
+    # the fix, keys whose bitmap lived in the SECOND state row skipped
+    # the exact confirm and leaked through as definitely-new)
+    got = bloom.incremental_new_keys(
+        docs, docs, "text", n_buckets=4, state=stacked
+    )
+    assert got.count() == 0
+
+
+def test_paragraph_dedup_null_text_docs_survive(spark):
+    """ADVICE r5: NULL-text docs must appear in the output (the 'every
+    input doc must appear' contract) — posexplode(split(NULL)) emits
+    zero rows and used to silently drop the doc."""
+    rows = [(1, "real body\n\nmore body"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2, 3}
+    # NULL behaves as "": one blank (non-content) paragraph
+    assert got[2].n_paras == 1 and got[2].n_kept == 0
+    assert got[2].cleaned_text == ""
+    assert got[3].n_paras == 1 and got[3].n_kept == 0
+    assert got[1].n_kept == 2
+
+
+def test_line_dedup_null_text(spark):
+    """ADVICE r5: NULL text behaves as '' instead of propagating NULL
+    through n_lines/n_kept/cleaned_text."""
+    from smart_ocr_spark.functions import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a\na")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dd.line_dedup_within_doc(df).collect()}
+    assert got[1].n_lines == 1 and got[1].n_kept == 1
+    assert got[1].cleaned_text == ""
+    assert got[2].n_kept == 1
+
+
+def test_c4_clean_null_text(spark):
+    """ADVICE r5 (same NULL-propagation family): NULL text yields the
+    empty-page verdict, not NULL flags."""
+    from smart_ocr_spark.functions import c4
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = c4.c4_clean(df).collect()[0]
+    assert r.n_lines == 1 and r.n_kept == 0
+    assert r.page_keep is False and r.has_lorem is False
+    assert r.cleaned_text == ""
