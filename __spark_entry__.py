@@ -697,7 +697,11 @@ def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens") > 0)
         .join(docs.select("doc_id", "lang"), "doc_id")
     )
-    return ta.perplexity_buckets(scored)
+    # exact=True is the explicit fixture/oracle mode (interpolated
+    # percentile, bit-identical to DuckDB quantile_cont); the library
+    # DEFAULT is the approx_percentile sketch, which never buffers a
+    # whole language on one reducer
+    return ta.perplexity_buckets(scored, exact=True)
 
 
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

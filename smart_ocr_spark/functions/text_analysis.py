@@ -583,19 +583,31 @@ def lm_bucket_cutoffs(
     sample_fraction: float = 1.0,
     id_col: str = "doc_id",
     salt: str = "ppl0",
+    exact: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-language LM-score cutoffs at the given quantiles — the
     artifact behind ccnet's head/middle/tail split (Wenzek et al.
     2020 compute per-lang perplexity thresholds once, on a sample,
     then ship them).  Returns a tiny (lang, cut_lo, cut_hi) frame.
 
-    Scale: EXACT linear-interpolated percentile gathers each
-    language's values onto one reducer, so production corpora must
-    pass ``sample_fraction`` sized to the reducer — the sample is the
-    md5-hash rule from :mod:`sampling` (engine-reproducible,
-    partition-independent), exactly how ccnet sizes its cutoff
-    training set.  At oracle scale the default full pass keeps the
-    compare exact."""
+    Scale: the DEFAULT path is ``approx_percentile`` — a bounded
+    Greenwald-Khanna sketch per language (size ~``accuracy``, NOT the
+    group size), merged map-side like any partial agg, so the hottest
+    language (English is ~half of Common Crawl — billions of rows per
+    dump) never gathers onto one reducer.  Cutoffs are a threshold
+    artifact; rank error ``1/accuracy`` (1e-4 at the default) moves
+    the head/middle boundary by an invisible sliver of the
+    distribution, which is why ccnet itself trains cutoffs on a
+    sample.  ``sample_fraction`` (the md5-hash rule from
+    :mod:`sampling` — engine-reproducible, partition-independent)
+    composes with either path to cut the scan cost too.
+
+    ``exact=True`` is the explicit fixture/oracle mode: EXACT
+    linear-interpolated percentile (bit-identical to DuckDB
+    ``quantile_cont``), which buffers each language's values on one
+    reducer — pass it only at test/fixture scale, or pair it with a
+    ``sample_fraction`` sized to the reducer."""
     from smart_ocr_spark.functions.sampling import deterministic_sample
 
     s = scored
@@ -603,9 +615,16 @@ def lm_bucket_cutoffs(
         s = deterministic_sample(
             scored, sample_fraction, id_col=id_col, salt=salt
         )
-    pct = F.percentile(
-        F.col(score_col), F.array(*[F.lit(float(f)) for f in fracs])
-    )
+    if exact:
+        pct = F.percentile(
+            F.col(score_col), F.array(*[F.lit(float(f)) for f in fracs])
+        )
+    else:
+        pct = F.percentile_approx(
+            F.col(score_col),
+            F.array(*[F.lit(float(f)) for f in fracs]),
+            F.lit(int(accuracy)),
+        )
     return s.groupBy(lang_col).agg(pct.alias("_cuts")).select(
         lang_col,
         F.col("_cuts")[0].alias("cut_lo"),
@@ -625,7 +644,8 @@ def perplexity_buckets(
     more LM-like = ``head``; the middle third is what ccnet keeps by
     default and the tail is noise.  Pass a precomputed ``cutoffs``
     frame (the shipped-artifact workflow) or let it derive one via
-    :func:`lm_bucket_cutoffs`.
+    :func:`lm_bucket_cutoffs` — sketch-based (scale-safe) by default;
+    forward ``exact=True`` for the interpolated fixture/oracle mode.
 
     Docs whose language is absent from the cutoffs table (possible
     under cutoff sampling) fall to ``tail`` — the conservative

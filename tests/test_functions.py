@@ -1951,3 +1951,47 @@ def test_c4_clean_null_text(spark):
     assert r.n_lines == 1 and r.n_kept == 0
     assert r.page_keep is False and r.has_lorem is False
     assert r.cleaned_text == ""
+
+
+def test_lm_bucket_cutoffs_default_is_sketch(spark):
+    """VERDICT r5 weak #1: the DEFAULT cutoff path must never buffer a
+    whole language on one reducer.  Pin: default aggregates with
+    percentile_approx (bounded GK sketch, map-side partials); the
+    exact interpolated percentile only appears under explicit
+    exact=True (the fixture/oracle mode)."""
+    import re
+
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    n = 3000
+    rows = [(i, "en", -float(i) / 100.0) for i in range(n)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_logprob double"
+    )
+
+    dflt = ta.lm_bucket_cutoffs(scored)
+    plan = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "partial_percentile_approx" in plan  # map-side sketch merge
+    assert not re.search(r"\bpercentile\(", plan)  # no unbounded gather
+
+    exact = ta.lm_bucket_cutoffs(scored, exact=True)
+    plan_x = exact._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\bpercentile\(", plan_x)
+    assert "percentile_approx" not in plan_x
+
+    # behavior: at accuracy 10k over 3k rows the sketch is rank-exact;
+    # its member-value cutoffs sit within one step of the interpolated
+    # ones and the default path buckets ~n/3 per tercile
+    (d,) = dflt.collect()
+    (x,) = exact.collect()
+    assert abs(d["cut_lo"] - x["cut_lo"]) <= 0.01 + 1e-9
+    assert abs(d["cut_hi"] - x["cut_hi"]) <= 0.01 + 1e-9
+    counts = {
+        r["bucket"]: r["n"]
+        for r in ta.perplexity_buckets(scored)
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"head", "middle", "tail"}
+    for b in counts:
+        assert abs(counts[b] - n / 3) <= 2
