@@ -16,13 +16,15 @@ Semantics follow the Google robots.txt spec (RFC 9309):
 
 Scale shape: robots bodies are parsed with an Arrow-batched pandas
 pass over the ROBOTS table (one row per host — dictionary-sized,
-Python never touches the page corpus); pages join their host's
-exploded rules by a host-keyed EQUI-join (fan-out bounded by
-rules-per-host, hot hosts are AQE-splittable join keys); per-page
-rule matching is JVM ``startswith`` for literal rules and
-``regexp_like`` only for the wildcard minority; the winning rule is a
-two-stage ``max(struct(...))`` aggregation (longest rule, allow on
-ties) — no windows anywhere.
+Python never touches the page corpus) into ONE rules-array row per
+host; pages join that by a host-keyed EQUI-join that emits EXACTLY
+one row per page (no pages×rules fan-out: a Zipf-hot host with a
+500-line robots.txt used to multiply every one of its pages by 500
+inside the join stage); longest-match/allow-wins evaluation is then
+per-row JVM array algebra — ``filter`` over the rules array
+(``startswith`` for literal rules, ``regexp_like`` only for the
+wildcard minority) and ``array_max`` over (len, allow, path) structs
+— no aggregation, no windows, nothing for a hot host to skew.
 
 Reference parity: /root/reference has no crawling/compliance surface —
 this is part of the web-pipeline operator family the reference lacks.
@@ -132,6 +134,52 @@ def robots_rules_df(
     )
 
 
+_RULE_STRUCT = (
+    "struct<rule_path:string,allow:boolean,is_wildcard:boolean,"
+    "rule_regex:string,rule_len:int>"
+)
+
+
+def robots_host_rules_df(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col_name: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """One row PER HOST: (host, rules array<struct<rule_path, allow,
+    is_wildcard, rule_regex, rule_len>>) — the join-side shape
+    :func:`robots_filter` wants (one array row per host keeps the
+    pages join 1:1; :func:`robots_rules_df` is the exploded diagnostic
+    view).  Map-only: the array is built inside the same Arrow batch
+    that parses the robots body, no groupBy.  ``robots`` must be
+    host-grain (one row per host), the natural grain of a robots
+    fetch table — duplicate host rows would fan pages out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, rule_arrays = [], []
+            for host, text in zip(pdf[host_col_name], pdf[text_col]):
+                rules = []
+                for path, allow in parse_robots_rules(text, agent):
+                    wild = "*" in path or path.endswith("$")
+                    rules.append(
+                        {
+                            "rule_path": path,
+                            "allow": allow,
+                            "is_wildcard": wild,
+                            "rule_regex": _rule_regex(path) if wild else "",
+                            "rule_len": len(path),
+                        }
+                    )
+                hosts.append((host or "").lower())
+                rule_arrays.append(rules)
+            yield pd.DataFrame({"host": hosts, "rules": rule_arrays})
+
+    return robots.select(host_col_name, text_col).mapInPandas(
+        run, f"host string, rules array<{_RULE_STRUCT}>"
+    )
+
+
 def robots_filter(
     pages: DataFrame,
     robots: DataFrame,
@@ -141,10 +189,18 @@ def robots_filter(
 ) -> DataFrame:
     """Evaluate each page's URL against its host's robots rules.
 
-    ``robots`` carries (host, robots_txt).  Output: (id, host, path,
-    robots_blocked, matched_rule) — ``matched_rule`` is the winning
-    rule path (longest match, allow on ties), NULL when no rule
-    matched or the host has no robots.txt (both allowed)."""
+    ``robots`` carries (host, robots_txt), one row per host.  Output:
+    (id, host, path, robots_blocked, matched_rule) — ``matched_rule``
+    is the winning rule path (longest match, allow on ties), NULL when
+    no rule matched or the host has no robots.txt (both allowed).
+
+    Exactly ONE output row per page, produced without any
+    row-increasing join or aggregation: the rules ride as one array
+    per host, matching rules are selected by a JVM ``filter`` over
+    the array and the winner by ``array_max`` over (rule_len, allow,
+    rule_path) structs — all per-row, so a Zipf-hot host costs its
+    page count times its (bounded, dictionary-sized) rule count in
+    mapper work instead of a pages×rules shuffle fan-out."""
     u = F.col(url_col)
     base = pages.select(
         F.col(id_col),
@@ -160,25 +216,30 @@ def robots_filter(
             F.lit("/"),
         ).alias("path"),
     )
-    rules = robots_rules_df(robots, agent)
-    cand = base.join(rules, "host")
-    hit = F.when(
-        F.col("is_wildcard"), F.regexp_like("path", F.col("rule_regex"))
-    ).otherwise(F.col("path").startswith(F.col("rule_path")))
-    winners = (
-        cand.where(hit)
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("rule_len").alias("l"),
-                    F.col("allow").alias("a"),
-                    F.col("rule_path").alias("p"),
-                )
-            ).alias("_w")
+    host_rules = robots_host_rules_df(robots, agent)
+    j = base.join(host_rules, "host", "left")  # 1:1 — one row per page
+
+    def hit(r):
+        return F.when(
+            r["is_wildcard"], F.regexp_like(F.col("path"), r["rule_regex"])
+        ).otherwise(F.col("path").startswith(r["rule_path"]))
+
+    winner = F.array_max(
+        F.transform(
+            F.filter(F.col("rules"), hit),
+            lambda r: F.struct(
+                r["rule_len"].alias("l"),
+                r["allow"].alias("a"),
+                r["rule_path"].alias("p"),
+            ),
         )
     )
-    return base.join(winners, id_col, "left").select(
+    return j.select(
+        F.col(id_col),
+        "host",
+        "path",
+        winner.alias("_w"),
+    ).select(
         F.col(id_col),
         "host",
         "path",
