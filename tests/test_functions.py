@@ -1995,3 +1995,46 @@ def test_lm_bucket_cutoffs_default_is_sketch(spark):
     assert set(counts) == {"head", "middle", "tail"}
     for b in counts:
         assert abs(counts[b] - n / 3) <= 2
+
+
+def test_trigram_lm_backoff_chain(spark):
+    """All three stupid-backoff paths value-pinned on a hand corpus:
+    in-model trigram MLE, backoff x bigram MLE, backoff^2 x add-one
+    unigram; Brants count pruning drops singleton trigrams even when
+    the cap has room; <3-token docs take the 0.0 sentinel."""
+    import math
+
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z"), (3, "q r")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ta.trigram_lm_scores(
+            docs, min_count=2, bigram_size=1
+        ).collect()
+    }
+    # corpus: N=11 tokens, V=8 distinct; kept trigram: (a,b,c) c=2 over
+    # ctx c(a,b)=2; kept bigram model = top-1 = (a,b) with ctx c(a)=2
+    lg = math.log10
+    # doc1 trigrams: (a,b,c)x2 -> 0.0; (b,c,a) -> unigram path on 'a';
+    # (c,a,b) -> bigram path on (a,b)
+    exp1 = (
+        0.0 + 0.0
+        + (2 * lg(0.4) + lg((2 + 1) / 19.0))
+        + (lg(0.4) + lg(2 / 2.0))
+    ) / 4.0
+    assert out[1].n_trigrams == 4
+    assert out[1].trigram_hit_rate == 0.5
+    assert out[1].bigram_hit_rate == 0.25
+    assert out[1].avg_logprob == round(exp1, 4)
+    # doc2: single trigram (x,y,z), pruned singleton, bigram (y,z) not
+    # in the size-1 model -> backoff^2 unigram on 'z' (c_uni=1)
+    exp2 = 2 * lg(0.4) + lg((1 + 1) / 19.0)
+    assert out[2].n_trigrams == 1
+    assert out[2].trigram_hit_rate == 0.0 and out[2].bigram_hit_rate == 0.0
+    assert out[2].avg_logprob == round(exp2, 4)
+    # doc3: <3 tokens -> sentinel
+    assert out[3].n_trigrams == 0 and out[3].avg_logprob == 0.0

@@ -404,3 +404,76 @@ def test_stream_neardup_saturation_flagged(spark, tmp_path):
     rows = streaming.read_neardup_verdicts(spark, out).collect()
     assert rows and all(r.state_saturated for r in rows)
     assert not any(r.is_neardup for r in rows)
+
+
+def test_stream_neardup_batch_equivalence(spark, tmp_path):
+    """VERDICT r5 #7 (the r4 #6 pattern for the third streaming op):
+    the stateful near-dup stream's verdicts must equal the BOUNDED
+    Spark compare built from the shared batch kernel — minhash
+    signatures + banded LSH candidate pairs over the unioned dumps,
+    restricted to earlier→later pairs in processing order (dump order
+    then url sort ≡ global url order for this fixture), with the same
+    signature-agreement estimate.  Pure-Python replay equivalence is
+    pinned separately; this pins stream ≡ batch DataFrame path."""
+    from smart_ocr_spark.functions.dedup import (
+        N_MINHASH,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    inp = str(tmp_path / "eq_in")
+    out = str(tmp_path / "eq_out")
+    texts = _nd_texts()
+
+    def drop(tag):
+        rows = [(u, t) for u, t in texts.items() if u.startswith(tag)]
+        spark.createDataFrame(rows, "url string, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(inp, tag.rstrip("/")))
+
+    drop("d1/")
+    q = streaming.stream_neardup_dedup(spark, inp + "/*", out)
+    q.awaitTermination(300)
+    drop("d2/")
+    q2 = streaming.stream_neardup_dedup(spark, inp + "/*", out)
+    q2.awaitTermination(300)
+    got = {
+        r.url: (r.is_neardup, r.est_jaccard)
+        for r in streaming.read_neardup_verdicts(spark, out).collect()
+    }
+
+    # bounded batch path over the union of both dumps
+    docs = spark.createDataFrame(
+        list(texts.items()), "url string, text string"
+    )
+    sig = minhash_signatures(docs, id_col="url", id_type="string")
+    pairs = lsh_candidate_pairs(sig, id_col="url")  # doc_a < doc_b
+    a = sig.select(
+        F.col("url").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("url").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(N_MINHASH)
+    ) / float(N_MINHASH)
+    qualified = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est"))
+        .where(F.col("est") >= 0.8)
+    )
+    batch_best = {
+        r["doc_b"]: r["best"]
+        for r in qualified.groupBy("doc_b")
+        .agg(F.max("est").alias("best"))
+        .collect()
+    }
+    # verdict-set equivalence: a doc is stream-flagged iff the batch
+    # path finds a qualifying earlier partner for it
+    assert {u for u, (nd, _) in got.items() if nd} == set(batch_best)
+    # and the reported estimate is the batch max over earlier partners
+    for u, best in batch_best.items():
+        assert got[u][1] == pytest.approx(best)
