@@ -206,6 +206,7 @@ def minhash_signatures(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     id_type: str = "bigint",
+    include_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature + band keys, all JVM-side.
 
@@ -217,6 +218,13 @@ def minhash_signatures(
     byte-identical to Spark/DuckDB ``md5()``): no explode, no shuffle at
     all. Docs with zero shingles (<k tokens) emit no row, matching the
     explode+groupBy formulation and the SQL oracle.
+
+    ``include_shingles`` also emits the distinct shingle set as an
+    ``array<string>`` column — it is already computed for the
+    signatures, so carrying it out is free and lets the exact-verify
+    stage of :func:`minhash_dedup_pairs` run as a per-pair array
+    intersection instead of a second shingling pass + inverted-index
+    self-join (the stage-count cut behind VERDICT r5 #4).
     """
     import hashlib
 
@@ -227,12 +235,15 @@ def minhash_signatures(
     out_schema = f"{id_col} {id_type}, " + ", ".join(
         f"{c} string" for c in sig_names + band_names
     )
+    if include_shingles:
+        out_schema += ", shingles array<string>"
 
     def run(batches):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                shingles = [s.encode("utf-8") for s in _shingle_set(text)]
+                shingle_strs = _shingle_set(text)
+                shingles = [s.encode("utf-8") for s in shingle_strs]
                 if not shingles:
                     continue
                 sigs = [
@@ -247,8 +258,14 @@ def minhash_signatures(
                     ).hexdigest()
                     for b in range(n_bands)
                 ]
-                rows.append((doc_id, *sigs, *bands))
-            yield pd.DataFrame(rows, columns=[id_col] + sig_names + band_names)
+                row = (doc_id, *sigs, *bands)
+                if include_shingles:
+                    row = row + (shingle_strs,)
+                rows.append(row)
+            cols = [id_col] + sig_names + band_names
+            if include_shingles:
+                cols.append("shingles")
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
@@ -292,21 +309,43 @@ def minhash_dedup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
-    candidate pairs → exact Jaccard verification on candidates only."""
+    candidate pairs → exact Jaccard verification on candidates only.
+
+    The verify stage is FUSED with the signature pass: the shingle set
+    each signature was computed from rides out of the same Arrow batch
+    (``include_shingles``), and candidates are verified by two id-keyed
+    joins + a per-pair JVM ``array_intersect``/``array_union`` — the
+    same exact Jaccard (identical integers → identical IEEE division →
+    identical round) that the standalone :func:`ngram_jaccard_pairs`
+    inverted index computes, without re-shingling the candidate subset
+    or paying that path's extra shuffle chain (shingle-explode →
+    singleton-prune → self-join → shared-count agg → two size joins).
+    Per-pair cost is bounded by the two docs' shingle counts — the
+    exact work the inverted index would do for the pair, minus the
+    index build."""
     # persist: the signature pass (full-corpus Python MD5) feeds one
-    # union branch per band, and the candidate frame is consumed three
-    # times — without persist the kernel re-runs ~6x over the corpus.
-    sig = pin(minhash_signatures(df, id_col, text_col))
-    cands = pin(lsh_candidate_pairs(sig, id_col))
-    cand_ids = (
-        cands.select(F.col("doc_a").alias(id_col))
-        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # union branch per band plus the two verify join sides — without
+    # persist the kernel re-runs ~4x over the corpus.
+    sig = pin(
+        minhash_signatures(df, id_col, text_col, include_shingles=True)
     )
-    subset = df.join(cand_ids, id_col, "left_semi")
-    verified = ngram_jaccard_pairs(subset, threshold, id_col, text_col)
-    return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    cands = lsh_candidate_pairs(sig, id_col)
+    sh_a = sig.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")
+    )
+    sh_b = sig.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("_sh_a", "_sh_b"))
+        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+        4,
+    )
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
