@@ -993,6 +993,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     task per shard."""
     import datetime as _dt
     import os
+    import tempfile
 
     from smart_ocr_spark.sources import warc as warcmod
 
@@ -1004,11 +1005,9 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     epoch = _dt.datetime(2026, 1, 1)
-    fix_dir = os.path.join(
-        "/tmp", "smart_ocr_spark_warc_fixture",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-    )
-    os.makedirs(fix_dir, exist_ok=True)
+    # unique dir per invocation: a concurrently-running second session
+    # (bench + driver overlap) must never read a half-written fixture
+    fix_dir = tempfile.mkdtemp(prefix="smart_ocr_spark_warc_")
     n_shards = 4
     shards: list[list[tuple[str, str, bytes]]] = [[] for _ in range(n_shards)]
     for r in docs:
