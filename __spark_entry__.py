@@ -978,6 +978,22 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_FIXTURE_DIR: list[str] = []
+
+
+def _warc_fixture_dir() -> str:
+    """One fixture dir per process, removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _WARC_FIXTURE_DIR:
+        d = tempfile.mkdtemp(prefix="smart_ocr_spark_warc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _WARC_FIXTURE_DIR.append(d)
+    return _WARC_FIXTURE_DIR[0]
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion, driver-visible (VERDICT r5 #6): a deterministic
     synthetic Common-Crawl-style WARC fixture — one gzip-member
@@ -1005,9 +1021,18 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     epoch = _dt.datetime(2026, 1, 1)
-    # unique dir per invocation: a concurrently-running second session
-    # (bench + driver overlap) must never read a half-written fixture
-    fix_dir = tempfile.mkdtemp(prefix="smart_ocr_spark_warc_")
+    # per-PROCESS fixture dir, created once and removed at exit: unique
+    # per process so a concurrently-running second session (bench +
+    # driver overlap) never reads a half-written fixture, reused within
+    # the process so repeated invocations (driver's 50-query sweep,
+    # pytest parametrization) don't accumulate corpus-sized /tmp
+    # litter; one subdir per sf so frames over different scale factors
+    # never overwrite each other's shards
+    fix_dir = os.path.join(
+        _warc_fixture_dir(),
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    os.makedirs(fix_dir, exist_ok=True)
     n_shards = 4
     shards: list[list[tuple[str, str, bytes]]] = [[] for _ in range(n_shards)]
     for r in docs:

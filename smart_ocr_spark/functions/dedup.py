@@ -220,11 +220,12 @@ def minhash_signatures(
     explode+groupBy formulation and the SQL oracle.
 
     ``include_shingles`` also emits the distinct shingle set as an
-    ``array<string>`` column — it is already computed for the
-    signatures, so carrying it out is free and lets the exact-verify
-    stage of :func:`minhash_dedup_pairs` run as a per-pair array
-    intersection instead of a second shingling pass + inverted-index
-    self-join (the stage-count cut behind VERDICT r5 #4).
+    ``array<string>`` column — already computed for the signatures, so
+    carrying it out of the batch is free when a caller wants a single
+    fused pass.  Do NOT persist the resulting frame: the arrays are
+    corpus-scale (~k× token volume).  :func:`minhash_dedup_pairs`
+    instead pins the narrow default frame and shingles only the
+    candidate subset.
     """
     import hashlib
 
@@ -311,29 +312,36 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → exact Jaccard verification on candidates only.
 
-    The verify stage is FUSED with the signature pass: the shingle set
-    each signature was computed from rides out of the same Arrow batch
-    (``include_shingles``), and candidates are verified by two id-keyed
-    joins + a per-pair JVM ``array_intersect``/``array_union`` — the
-    same exact Jaccard (identical integers → identical IEEE division →
+    The verify stage is a per-pair JVM ``array_intersect``/
+    ``array_union`` over the CANDIDATES' shingle arrays — the same
+    exact Jaccard (identical integers → identical IEEE division →
     identical round) that the standalone :func:`ngram_jaccard_pairs`
-    inverted index computes, without re-shingling the candidate subset
-    or paying that path's extra shuffle chain (shingle-explode →
-    singleton-prune → self-join → shared-count agg → two size joins).
-    Per-pair cost is bounded by the two docs' shingle counts — the
-    exact work the inverted index would do for the pair, minus the
-    index build."""
+    inverted index computes, without that path's shuffle chain
+    (shingle-explode → singleton-prune → self-join → shared-count agg
+    → two size joins).  The shingle arrays are computed ONLY for
+    candidate docs (a semi-joined map pass), so neither the pinned
+    signature frame nor any cache ever carries corpus-scale shingle
+    data — the cache is the narrow (id, sigs, bands) frame exactly as
+    before; per-pair verify cost is bounded by the two docs' shingle
+    counts, the work the inverted index would do for the pair minus
+    the index build."""
     # persist: the signature pass (full-corpus Python MD5) feeds one
-    # union branch per band plus the two verify join sides — without
-    # persist the kernel re-runs ~4x over the corpus.
-    sig = pin(
-        minhash_signatures(df, id_col, text_col, include_shingles=True)
+    # union branch per band — without persist the kernel re-runs per
+    # band over the corpus.
+    sig = pin(minhash_signatures(df, id_col, text_col))
+    cands = pin(lsh_candidate_pairs(sig, id_col))
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
-    cands = lsh_candidate_pairs(sig, id_col)
-    sh_a = sig.select(
+    shingled = with_shingles(
+        df.join(cand_ids, id_col, "left_semi"), text_col
+    ).select(id_col, "shingles")
+    sh_a = shingled.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a")
     )
-    sh_b = sig.select(
+    sh_b = shingled.select(
         F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")
     )
     jac = F.round(
@@ -345,7 +353,11 @@ def minhash_dedup_pairs(
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        # jaccard > 0 mirrors the inverted index exactly: a band-hash
+        # collision between disjoint shingle sets was never a pair
+        # there (shared >= 1), so it is not a pair here either — even
+        # at threshold 0
+        .where((F.col("jaccard") >= threshold) & (F.col("jaccard") > 0))
     )
 
 

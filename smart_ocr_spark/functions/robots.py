@@ -24,7 +24,9 @@ inside the join stage); longest-match/allow-wins evaluation is then
 per-row JVM array algebra — ``filter`` over the rules array
 (``startswith`` for literal rules, ``regexp_like`` only for the
 wildcard minority) and ``array_max`` over (len, allow, path) structs
-— no aggregation, no windows, nothing for a hot host to skew.
+— the only aggregation anywhere is the robots-grain (dictionary-
+sized) duplicate-host merge before the join, no windows, nothing at
+page grain for a hot host to skew.
 
 Reference parity: /root/reference has no crawling/compliance surface —
 this is part of the web-pipeline operator family the reference lacks.
@@ -92,6 +94,27 @@ def _rule_regex(path: str) -> str:
     return "^" + ".*".join(parts) + ("$" if anchored else "")
 
 
+def _materialize_rules(text: str, agent: str) -> list[dict]:
+    """The ONE kernel both table shapes share: parsed rules of the
+    group applying to ``agent``, each with the derived match metadata
+    (wildcard flag, compiled regex, length) — keeping the exploded
+    diagnostic view and the array view :func:`robots_filter` evaluates
+    from ever disagreeing."""
+    out = []
+    for path, allow in parse_robots_rules(text, agent):
+        wild = "*" in path or path.endswith("$")
+        out.append(
+            {
+                "rule_path": path,
+                "allow": allow,
+                "is_wildcard": wild,
+                "rule_regex": _rule_regex(path) if wild else "",
+                "rule_len": len(path),
+            }
+        )
+    return out
+
+
 def robots_rules_df(
     robots: DataFrame,
     agent: str = "*",
@@ -103,27 +126,22 @@ def robots_rules_df(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hosts, paths, allows, wilds, regexes, lens = [], [], [], [], [], []
+            hosts, rules = [], []
             for host, text in zip(pdf[host_col_name], pdf[text_col]):
-                for path, allow in parse_robots_rules(text, agent):
+                for rule in _materialize_rules(text, agent):
                     # page hosts arrive lowercased (urls.host_col);
                     # normalize the robots side so the equi-join can't
                     # miss on a mixed-case host row
                     hosts.append((host or "").lower())
-                    paths.append(path)
-                    allows.append(allow)
-                    wild = "*" in path or path.endswith("$")
-                    wilds.append(wild)
-                    regexes.append(_rule_regex(path) if wild else "")
-                    lens.append(len(path))
+                    rules.append(rule)
             yield pd.DataFrame(
                 {
                     "host": hosts,
-                    "rule_path": paths,
-                    "allow": allows,
-                    "is_wildcard": wilds,
-                    "rule_regex": regexes,
-                    "rule_len": lens,
+                    "rule_path": [r["rule_path"] for r in rules],
+                    "allow": [r["allow"] for r in rules],
+                    "is_wildcard": [r["is_wildcard"] for r in rules],
+                    "rule_regex": [r["rule_regex"] for r in rules],
+                    "rule_len": [r["rule_len"] for r in rules],
                 }
             )
 
@@ -150,33 +168,28 @@ def robots_host_rules_df(
     is_wildcard, rule_regex, rule_len>>) — the join-side shape
     :func:`robots_filter` wants (one array row per host keeps the
     pages join 1:1; :func:`robots_rules_df` is the exploded diagnostic
-    view).  Map-only: the array is built inside the same Arrow batch
-    that parses the robots body, no groupBy.  ``robots`` must be
-    host-grain (one row per host), the natural grain of a robots
-    fetch table — duplicate host rows would fan pages out."""
+    view).  The parse is map-only (the array is built inside the same
+    Arrow batch that parses the robots body); a host-keyed
+    ``flatten(collect_list(...))`` then merges duplicate host rows
+    (multi-epoch fetch tables) into ONE array so the downstream pages
+    join stays 1:1 and the winner is picked over ALL of a host's rules
+    — the agg is at robots-table grain (dictionary-sized), never
+    pages, and rule ORDER within the merged array is irrelevant
+    (longest-match / allow-on-ties is order-independent)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hosts, rule_arrays = [], []
             for host, text in zip(pdf[host_col_name], pdf[text_col]):
-                rules = []
-                for path, allow in parse_robots_rules(text, agent):
-                    wild = "*" in path or path.endswith("$")
-                    rules.append(
-                        {
-                            "rule_path": path,
-                            "allow": allow,
-                            "is_wildcard": wild,
-                            "rule_regex": _rule_regex(path) if wild else "",
-                            "rule_len": len(path),
-                        }
-                    )
                 hosts.append((host or "").lower())
-                rule_arrays.append(rules)
+                rule_arrays.append(_materialize_rules(text, agent))
             yield pd.DataFrame({"host": hosts, "rules": rule_arrays})
 
-    return robots.select(host_col_name, text_col).mapInPandas(
+    parsed = robots.select(host_col_name, text_col).mapInPandas(
         run, f"host string, rules array<{_RULE_STRUCT}>"
+    )
+    return parsed.groupBy("host").agg(
+        F.flatten(F.collect_list("rules")).alias("rules")
     )
 
 

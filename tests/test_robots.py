@@ -137,9 +137,14 @@ def test_robots_filter_hot_host_plan(spark):
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
-    # winner selection is per-row array algebra — no aggregate, so no
-    # pages-x-rules fan-out exists anywhere in the plan
-    assert "Aggregate" not in plan
+    # winner selection is per-row array algebra: the ONLY aggregate in
+    # the plan is the robots-grain duplicate-host merge (keyed by
+    # host, dictionary-sized) — nothing aggregates at page grain, so
+    # no pages-x-rules fan-out exists anywhere
+    import re as _re
+
+    agg_keys = _re.findall(r"Aggregate\(keys=\[(\w*)", plan)
+    assert agg_keys and all(k == "host" for k in agg_keys), agg_keys
     assert plan.count("Join") >= 1
 
     rows = out_df.collect()
@@ -178,3 +183,30 @@ def test_robots_filter_hot_host_many_rules(spark):
     assert by_id[450]["matched_rule"] == "/p50/"
     n_allowed = sum(1 for r in rows if not r["robots_blocked"])
     assert n_allowed == 50                     # exactly doc0..doc49
+
+
+def test_robots_filter_duplicate_host_rows_merge(spark):
+    """A robots table with SEVERAL rows for one host (multi-epoch
+    fetches) must behave like the union of their rules — one verdict
+    row per page, winner picked across ALL rows — not fan pages out
+    into contradictory per-row verdicts."""
+    pages = spark.createDataFrame(
+        [(0, "https://h.example/a/b"), (1, "https://h.example/a/c")],
+        ["doc_id", "url"],
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h.example", "User-agent: *\nDisallow: /a\n"),
+            ("h.example", "User-agent: *\nAllow: /a/b\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    out = robots_filter(pages, robots).collect()
+    assert len(out) == 2                     # one row per page
+    by_id = {r["doc_id"]: r for r in out}
+    # the longer Allow from the SECOND row beats the first row's
+    # Disallow — rules merged across duplicate host rows
+    assert not by_id[0]["robots_blocked"]
+    assert by_id[0]["matched_rule"] == "/a/b"
+    assert by_id[1]["robots_blocked"]
+    assert by_id[1]["matched_rule"] == "/a"
