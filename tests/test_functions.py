@@ -2038,3 +2038,30 @@ def test_trigram_lm_backoff_chain(spark):
     assert out[2].avg_logprob == round(exp2, 4)
     # doc3: <3 tokens -> sentinel
     assert out[3].n_trigrams == 0 and out[3].avg_logprob == 0.0
+
+
+def test_perplexity_buckets_accept_trigram_scorer(spark):
+    """VERDICT r5 #3 done-criterion: the bucketing op is scorer-
+    agnostic — trigram stupid-backoff scores flow through the same
+    head/middle/tail split (sentinel filter + per-lang cutoffs) as the
+    unigram scores it was built against."""
+    from smart_ocr_spark.functions import text_analysis as ta
+
+    rows = [
+        (i, "en", " ".join(f"w{j} w{j+1} common tail" for j in range(i + 3)))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    scored = (
+        ta.trigram_lm_scores(docs, min_count=1, trigram_size=500)
+        .where(F.col("n_trigrams") > 0)  # sentinel filter, as with unigram
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    out = ta.perplexity_buckets(scored)
+    rows_out = out.collect()
+    assert len(rows_out) == 12
+    buckets = {r["bucket"] for r in rows_out}
+    assert buckets == {"head", "middle", "tail"}
+    # exact mode flows through the same kwargs seam
+    out_x = ta.perplexity_buckets(scored, exact=True)
+    assert out_x.count() == 12
