@@ -1062,6 +1062,47 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WET-style WARC WRITER, driver-visible: the corpus
+    (url/ts/text derived deterministically from documents) is written
+    as conversion-record gzip shards by the range-partitioned
+    one-shard-per-task writer (`sources/warc.py:corpus_to_warc`) and
+    parsed back through the streaming reader; the oracle re-derives
+    the rows from documents directly, so the compare pins the full
+    write→read loop (record assembly, per-member gzip, atomic shard
+    rename, multi-shard parse) at the value grain."""
+    import datetime as _dt
+    import os
+
+    from smart_ocr_spark.sources import warc as warcmod
+
+    _ship(spark)
+    epoch = _dt.datetime(2026, 1, 1)
+    corpus = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://doc"), F.col("doc_id"),
+                 F.lit(".example/item")).alias("url"),
+        (F.lit(epoch.isoformat()).cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.col("text"),
+    )
+    out_dir = os.path.join(
+        _warc_fixture_dir(),
+        "wet-" + (os.path.basename(os.path.normpath(sf_dir)) or "sf"),
+    )
+    warcmod.corpus_to_warc(corpus, out_dir, n_shards=4).collect()
+    parsed = warcmod.warc_to_corpus(
+        spark, os.path.join(out_dir, "*.warc.gz"),
+        record_types=("conversion",),
+    )
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.decode("html", "UTF-8").alias("text"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+    )
+
+
 def q_text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram LM with the full stupid-backoff chain
     trigram→bigram→unigram (Brants 2007 count-pruned model), trained
@@ -1955,6 +1996,7 @@ def _query_pool_curation() -> dict[str, Callable[[SparkSession, str], DataFrame]
         # round-6 additions
         "text_trigram_lm": q_text_trigram_lm,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_write_roundtrip": q_warc_write_roundtrip,
     }
 
 
@@ -2001,6 +2043,7 @@ _ROTATED_TO_EXTRA = (
     "text_winnow_fingerprint",
     "ann_ivf_topk",
     "figures_embed_text",
+    "dedup_ngram_jaccard",
 )
 
 
@@ -3769,6 +3812,16 @@ FROM pairs WHERE bit_count(xor(ha, hb)) <= 2
         # documents table — any header-parse, envelope-strip, gunzip,
         # or decode defect on the Spark side breaks the value hash
         "warc_roundtrip": """
+SELECT 'http://doc' || doc_id || '.example/item' AS url,
+  strftime(TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+           '%Y-%m-%d %H:%M:%S') AS ts,
+  coalesce(text, '') AS text,
+  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+FROM documents
+""",
+        # distributed-writer round-trip: same row derivation as
+        # warc_roundtrip — the writer+reader loop must be value-invisible
+        "warc_write_roundtrip": """
 SELECT 'http://doc' || doc_id || '.example/item' AS url,
   strftime(TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
            '%Y-%m-%d %H:%M:%S') AS ts,

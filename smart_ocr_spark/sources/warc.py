@@ -361,3 +361,98 @@ def write_warc_file(
         for url, date_iso, payload in records:
             rec = warc_record_bytes(url, date_iso, payload)
             f.write(gzip.compress(rec, mtime=0) if compress else rec)
+
+
+# ---------------------------------------------------------------------------
+# Distributed writer (WET-style output shards)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SCHEMA = "shard string, n_records long, n_bytes long"
+
+
+def corpus_to_warc(
+    df: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    n_shards: int | None = None,
+    compress: bool = True,
+    warc_type: str = "conversion",
+) -> DataFrame:
+    """Write the corpus back OUT as WARC shards — the WET-shaped hop a
+    Common-Crawl-style pipeline takes after extraction (CC's own WET
+    files are ``conversion`` records holding the extracted text; ISO
+    28500 §6.8).  The output of :func:`warc_to_corpus` ∘ this is the
+    input corpus, and the round-trip is oracle-pinned.
+
+    Scale shape: one shard file per task, written with
+    ``mapInPandas`` — the record bytes never ride a Spark row or a
+    shuffle; each task streams its partition straight to its own
+    ``part-{pid:05d}.warc[.gz]``.  Rows are range-partitioned and
+    sorted by ``url_col`` first, so shard membership and in-shard
+    order depend only on the DATA (not input split or task order) and
+    the emitted bytes are deterministic end-to-end (gzip mtime pinned
+    to 0, one member per record like CC so ranges stay seekable).
+    Task retries are safe: shards are written to a
+    ``.inprogress.<uuid>`` name and atomically renamed into place, so
+    a re-executed (or speculative) task replaces, never interleaves.
+
+    Returns the shard MANIFEST as a DataFrame (shard, n_records,
+    n_bytes) — metadata rows only; collect it for lineage or join it
+    into a checkpoint table.  NULL text writes as "" (a zero-length
+    conversion record keeps the url present in the archive, matching
+    the NULL-text handling of the curation ops)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = df.select(
+        F.col(url_col).alias("url"),
+        F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("payload"),
+    )
+    if n_shards is not None:
+        parts = parts.repartitionByRange(n_shards, "url")
+    else:
+        parts = parts.repartitionByRange("url")
+    parts = parts.sortWithinPartitions("url")
+    ext = "warc.gz" if compress else "warc"
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        tmp = f"{final}.inprogress.{uuid.uuid4().hex}"
+        n = 0
+        with open(tmp, "wb") as f:
+            for pdf in batches:
+                for url, ts, payload in zip(
+                    pdf["url"], pdf["ts"], pdf["payload"]
+                ):
+                    rec = warc_record_bytes(
+                        str(url),
+                        str(ts),
+                        str(payload).encode("utf-8"),
+                        warc_type=warc_type,
+                        http_envelope=False,
+                    )
+                    f.write(gzip.compress(rec, mtime=0) if compress else rec)
+                    n += 1
+        if n == 0:
+            # empty range partitions write no shard at all
+            os.unlink(tmp)
+            return
+        os.replace(tmp, final)  # atomic: retries replace, never mix
+        yield pd.DataFrame(
+            {
+                "shard": [final],
+                "n_records": [n],
+                "n_bytes": [os.path.getsize(final)],
+            }
+        )
+
+    return parts.mapInPandas(write, _MANIFEST_SCHEMA)

@@ -166,3 +166,63 @@ def test_warc_feeds_extraction_byte_identically(spark, tmp_path):
     joined = out.join(golden, "url")
     assert joined.count() == 24
     assert joined.filter(F.col("final_text") != F.col("golden")).count() == 0
+
+
+def test_corpus_to_warc_roundtrip(spark, tmp_path):
+    """Distributed WET-style writer: corpus -> conversion-record shards
+    -> warc_to_corpus gives back exactly the corpus (url, ts, text),
+    NULL text included; the manifest accounts for every record."""
+    import datetime as dt
+
+    rows = [
+        (f"http://w{i}.example/p", dt.datetime(2026, 2, 1, 0, 0, i),
+         f"body {i} é中" if i % 3 else ("" if i % 2 else None))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    out = str(tmp_path / "wet")
+    manifest = warc.corpus_to_warc(df, out, n_shards=3).collect()
+    assert sum(m["n_records"] for m in manifest) == 20
+    assert all(m["n_bytes"] > 0 for m in manifest)
+
+    back = warc.warc_to_corpus(
+        spark, out + "/*.warc.gz", record_types=("conversion",)
+    )
+    got = {
+        r["url"]: (str(r["warc_ts"]), bytes(r["html"]).decode("utf-8"))
+        for r in back.collect()
+    }
+    assert len(got) == 20
+    for url, ts, text in rows:
+        assert got[url] == (str(ts), text or "")
+
+
+def test_corpus_to_warc_deterministic_bytes(spark, tmp_path):
+    """Same data -> byte-identical shards, independent of input
+    partitioning (range-partition + sort by url; gzip mtime pinned)."""
+    rows = [
+        (f"http://d{i}.example/", f"2026-02-01T00:00:{i:02d}Z", f"t{i}")
+        for i in range(30)
+    ]
+    df1 = spark.createDataFrame(
+        [(u, t) for u, ts, t in rows], "url string, text string"
+    ).withColumn("warc_ts", __import__("pyspark").sql.functions.to_timestamp(
+        __import__("pyspark").sql.functions.lit("2026-02-01 00:00:00")))
+    df2 = df1.repartition(7)  # different input layout, same data
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    warc.corpus_to_warc(df1, a, n_shards=2).collect()
+    warc.corpus_to_warc(df2, b, n_shards=2).collect()
+
+    import os
+
+    def cat(d):
+        return b"".join(
+            open(os.path.join(d, f), "rb").read() for f in sorted(os.listdir(d))
+        )
+
+    blob_a, blob_b = cat(a), cat(b)
+    assert blob_a and blob_a == blob_b
+    assert not any(".inprogress." in f for f in os.listdir(a))
