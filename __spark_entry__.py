@@ -22,6 +22,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from smart_ocr_spark.functions.spread import spread_scan
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -1412,7 +1414,7 @@ def q_figures_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 urls.append(str(d))
             yield pd.DataFrame({"url": urls, "html": payloads})
 
-    pdfs = docs.mapInPandas(mk, "url string, html binary")
+    pdfs = spread_scan(docs).mapInPandas(mk, "url string, html binary")
     from smart_ocr_spark.operators.extract import figure_metadata
 
     return figure_metadata(pdfs).select(
@@ -1459,7 +1461,7 @@ def q_figures_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 urls.append(str(d))
             yield pd.DataFrame({"url": urls, "html": payloads})
 
-    pdfs = docs.mapInPandas(mk, "url string, html binary").select(
+    pdfs = spread_scan(docs).mapInPandas(mk, "url string, html binary").select(
         "url",
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         "html",
@@ -1493,7 +1495,7 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["url", "html"])
 
-    pdfs = docs.mapInPandas(mk, "url string, html binary").select(
+    pdfs = spread_scan(docs).mapInPandas(mk, "url string, html binary").select(
         "url",
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         "html",
@@ -1547,7 +1549,7 @@ def q_extract_multipage_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((str(int(d)), build_pdf(pages)))
             yield pd.DataFrame(rows, columns=["url", "html"])
 
-    pdfs = docs.mapInPandas(mk, "url string, html binary").select(
+    pdfs = spread_scan(docs).mapInPandas(mk, "url string, html binary").select(
         "url",
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         "html",

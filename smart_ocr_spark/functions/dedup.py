@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from smart_ocr_spark.functions.cache import pin
+from smart_ocr_spark.functions.spread import spread_scan
 from smart_ocr_spark.functions.text_analysis import tokens_col
 
 _log = logging.getLogger(__name__)
@@ -150,15 +151,36 @@ def ngram_jaccard_pairs(
     """All pairs with shingle-set Jaccard >= threshold.
 
     Inverted-index self-join on shingle (shuffle keyed by shingle) →
-    shared counts → join per-doc set sizes (broadcast-able) → filter.
-    At scale, run on LSH candidates instead of the full corpus.
+    shared counts → filter.  At scale, run on LSH candidates instead of
+    the full corpus.
+
+    Physical shape (round-7 rework; values byte-identical):
+      * the per-doc set size rides the exploded stream as a constant
+        ``n_sh`` column and is recovered in the pair aggregation as
+        ``min(n_sh)`` — the old separate ``sizes`` frame cost two extra
+        joins AND two extra evaluations of the Python shingle pass
+        (each join probe side was its own subtree);
+      * both self-join sides are the IDENTICAL subplan, so ReuseExchange
+        evaluates the shingle pass + exchange once for the pair join —
+        with the old five-subtree formulation the corpus was shingled
+        SIX times (12 ArrowEvalPython nodes in the round-6 plan; now 4
+        nodes = 2 evaluations: the singleton-prune build side and the
+        reused join input);
+      * :func:`spread_scan` unlocks every core under the Python pass on
+        single-split sources (guide §2/§6) — a no-op for well-laid-out
+        tables.
     """
     # NOT persisted: the exploded-shingle frame is tokens-scale (far
-    # larger than the corpus), so caching it costs more than the four
-    # map-only re-shingles it would save — measured slower at sf0.1 and
-    # a spill hazard at 100 TB
-    sh = exploded_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # larger than the corpus), so caching it costs more than the
+    # map-only re-shingles it would save — a spill hazard at 100 TB
+    sh = (
+        with_shingles(spread_scan(df.select(id_col, text_col)), text_col, k)
+        .select(
+            F.col(id_col),
+            F.size("shingles").cast("bigint").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+    )
     # A shingle appearing in a single doc cannot contribute a pair:
     # dropping singletons shrinks the self-join input without changing
     # the result (set sizes n_a/n_b still count ALL shingles).
@@ -174,14 +196,16 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            # constant per doc, so min() == the doc's shingle-set size;
+            # folding it into this agg replaces the two size joins
+            F.min(F.col("a.n_sh")).alias("n_a"),
+            F.min(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared")
@@ -268,21 +292,35 @@ def minhash_signatures(
                 cols.append("shingles")
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+    # spread_scan: the signature pass is the most Python-CPU-heavy map
+    # in the dedup family (8 MD5s per shingle); a single-split source
+    # would run it on one core (guide §2.6 straggler shape)
+    return spread_scan(df.select(id_col, text_col)).mapInPandas(run, out_schema)
 
 
 def _band_buckets(
     sig: DataFrame, id_col: str = "doc_id", n_bands: int = N_BANDS
 ) -> DataFrame:
     """(id, bucket) rows: one per band, the band index prefixed so
-    bucket values never collide across bands."""
-    buckets = None
-    for b in range(n_bands):
-        part = sig.select(
-            F.col(id_col), F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")).alias("bucket")
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
-    return buckets
+    bucket values never collide across bands.
+
+    Emitted as ONE ``explode`` over a per-row band array rather than a
+    per-band union: the union formulation re-read the signature frame
+    once per band AND multiplied its partition count by ``n_bands``,
+    inflating every downstream stage's task count (guide §2.2 — many
+    tiny blocks); the explode is a single map pass with identical rows.
+    """
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band_{b}"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -816,7 +854,15 @@ def simhash_near_pairs(
     # NOTE: pinned frames live for the session UNLESS the caller runs
     # inside functions.cache.cache_scope() (the multi-sweep seam);
     # spark.catalog.clearCache() remains the blunt fallback.
-    hashed = pin(with_simhash64(df, text_col).select(id_col, "simhash64"))
+    # deliberately NOT spread_scan-ed: the signature frame is pinned, so
+    # steady-state cost is the (tiny) cached join stages — inflating the
+    # cache's partition count just multiplies downstream task overhead;
+    # single-split sources pay the Python pass serially exactly once
+    hashed = pin(
+        with_simhash64(df.select(id_col, text_col), text_col).select(
+            id_col, "simhash64"
+        )
+    )
     return hash64_near_pairs(
         hashed, "simhash64", id_col, max_hamming, bucket_cap,
         "simhash_near_pairs",
@@ -856,19 +902,24 @@ def hash64_near_pairs(
             what, max_hamming,
         )
 
-    chunks = None
-    for c in range(4):
-        part = hashed.select(
-            F.col(id_col),
-            F.col(hash_col),
-            F.expr(
-                f"concat('{c}:', cast((shiftrightunsigned({hash_col}, {c * 16})"
-                " & cast(65535 as bigint)) as string))"
-            ).alias("bucket"),
+    # ONE explode over the 4 chunk keys instead of a 4-branch union:
+    # the union re-read ``hashed`` per chunk and multiplied partition
+    # count 4x, inflating every downstream stage's task count (guide
+    # §2.2); identical rows either way.
+    chunk_exprs = [
+        F.expr(
+            f"concat('{c}:', cast((shiftrightunsigned({hash_col}, {c * 16})"
+            " & cast(65535 as bigint)) as string))"
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
-    # persist: the cap's bucket-size probe + both join sides consume the
-    # 4-branch union — unpersisted, the hashing pass would re-run
+        for c in range(4)
+    ]
+    chunks = hashed.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(F.array(*chunk_exprs)).alias("bucket"),
+    )
+    # persist: the cap's bucket-size probe + both join sides consume
+    # the chunk frame — unpersisted, the hashing pass would re-run
     chunks = pin(chunks)
     nbr, _ = _cap_bucket_fanin(chunks, id_col, bucket_cap, what, desc=True)
     a = chunks.alias("a")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import StringType
 
 from smart_ocr_spark.functions.cache import pin
+from smart_ocr_spark.functions.spread import spread_scan
 
 _log = logging.getLogger(__name__)
 
@@ -181,9 +182,11 @@ def cosine_topk(
     sc = corpus.sparkSession.sparkContext
     b_nbr = sc.broadcast((nbr_ids[ok], mat[ok], norms[ok]))
 
-    q = with_norm(queries if queries is not None else corpus, vec_col).select(
-        F.col(id_col).alias("query_id"), "__v", "__norm"
-    )
+    # spread_scan: the per-batch BLAS re-rank runs on the query side's
+    # scan partitions — a single-split source would serialize it
+    q = with_norm(
+        spread_scan(queries if queries is not None else corpus), vec_col
+    ).select(F.col(id_col).alias("query_id"), "__v", "__norm")
 
     def run(batches):
         ids, nmat, nnorm = b_nbr.value
@@ -286,15 +289,17 @@ def cosine_near_dup_pairs(
         a, b = n.alias("a"), n.alias("b")
         pairs = a.crossJoin(b)
     else:
-        n = pin(n)  # norm pass feeds one branch per table
-        bucketed = None
-        for t in range(n_tables):
-            udf = make_bucket_udf(dim, n_planes, t)
-            part = n.withColumn("bucket", udf(F.col("__v")))
-            bucketed = part if bucketed is None else bucketed.unionByName(part)
-        # persist: the self-join consumes the n_tables-branch union on
-        # BOTH sides — unpersisted, the corpus would be re-scanned and
-        # re-hashed 2 x n_tables times (lsh_topk does the same)
+        # one fused Python pass for all tables (explode, not union);
+        # persist: the self-join consumes the bucketed frame on BOTH
+        # sides — unpersisted, the corpus would be re-scanned and
+        # re-hashed twice (lsh_topk does the same)
+        udf = make_multibucket_udf(dim, n_planes, n_tables)
+        bucketed = n.select(
+            F.col(id_col),
+            "__v",
+            "__norm",
+            F.explode(udf(F.col("__v"))).alias("bucket"),
+        )
         bucketed = pin(bucketed)
         nbr, _ = _cap_bucket_fanin(
             bucketed, id_col, bucket_cap, "cosine_near_dup_pairs", desc=True
@@ -488,6 +493,51 @@ def make_bucket_udf(dim: int | None = None, n_planes: int = 12, table: int = 0):
     return bucket
 
 
+def make_multibucket_udf(
+    dim: int | None = None, n_planes: int = 12, n_tables: int = 2
+):
+    """All ``n_tables`` bucket ids per vector in ONE Python pass, as an
+    ``array<string>`` to explode — replaces the per-table
+    ``make_bucket_udf`` union, which re-scanned (and re-shipped through
+    Arrow) the corpus once per table and multiplied the bucketed
+    frame's partition count by ``n_tables`` (guide §2.2: many tiny
+    blocks inflate every downstream stage).
+
+    Bitwise-identical buckets: each table still runs the exact same
+    ``mat @ planes.T`` BLAS call as the single-table UDF, so the FP
+    summation order (and thus every sign at the >= 0 threshold) is
+    unchanged."""
+    planes_by_dim: dict[int, list[np.ndarray]] = {}
+
+    def _get(d: int) -> list[np.ndarray]:
+        if d not in planes_by_dim:
+            planes_by_dim[d] = [
+                _planes(d, n_planes, t) for t in range(n_tables)
+            ]
+        return planes_by_dim[d]
+
+    if dim is not None:
+        _get(dim)
+
+    @F.pandas_udf("array<string>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        d = mat.shape[1]
+        weights = 1 << np.arange(n_planes)
+        codes = []
+        for t, pl in enumerate(_get(d)):
+            signs = (mat @ pl.T) >= 0  # identical matmul to make_bucket_udf
+            codes.append((signs * weights).sum(axis=1))
+        return pd.Series(
+            [
+                [f"{t}:{c}" for t, c in enumerate(row)]
+                for row in np.stack(codes, axis=1)
+            ]
+        )
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -508,12 +558,15 @@ def lsh_topk(
     base = with_norm(corpus, vec_col).select(
         F.col(id_col), F.col("__v"), F.col("__norm")
     )
-    base = pin(base)  # norm pass feeds one branch per table
-    bucketed = None
-    for t in range(n_tables):
-        udf = make_bucket_udf(dim, n_planes, t)
-        part = base.withColumn("bucket", udf(F.col("__v")))
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    # one fused Python pass for all tables (explode, not union) — no
+    # separate pin of the norm pass needed: it is consumed exactly once
+    udf = make_multibucket_udf(dim, n_planes, n_tables)
+    bucketed = base.select(
+        F.col(id_col),
+        "__v",
+        "__norm",
+        F.explode(udf(F.col("__v"))).alias("bucket"),
+    )
     bucketed = pin(bucketed)
     nbr, _ = _cap_bucket_fanin(bucketed, id_col, bucket_cap, "lsh_topk")
     a, b = bucketed.alias("a"), nbr.alias("b")

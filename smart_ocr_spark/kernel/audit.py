@@ -62,6 +62,12 @@ _REFUSAL_RES = [re.compile(p, re.IGNORECASE) for p in REFUSAL_PATTERNS]
 _REFUSAL_ANY_RE = re.compile(
     "|".join(f"(?:{p})" for p in REFUSAL_PATTERNS), re.IGNORECASE
 )
+# Every refusal pattern is a literal, so on ASCII text the IGNORECASE
+# regex is exactly `lowered-literal in lowered-text` (ASCII case folding
+# is trivial; only exotic Unicode foldings like U+017F 'ſ'→'s' differ,
+# and those texts take the regex path).  C-speed `in` beats the
+# 10-branch backtracking alternation ~10x on the clean-text majority.
+_REFUSAL_LITERALS = [p.lower() for p in REFUSAL_PATTERNS]
 
 # Formatting-instruction hallucination patterns (heuristics.py:56-71).
 HALLUCINATION_PATTERNS = [
@@ -83,6 +89,26 @@ _HALLUC_RES = [re.compile(p, re.IGNORECASE) for p in HALLUCINATION_PATTERNS]
 _HALLUC_ANY_RE = re.compile(
     "|".join(f"(?:{p})" for p in HALLUCINATION_PATTERNS), re.IGNORECASE
 )
+# ASCII fast gate for the any-hallucination scan: a text can only match
+# some pattern if it contains one of these case-folded literal stems
+# (each regex pattern's longest mandatory literal; e.g. any match of
+# `print on \d+...` must contain "print on ").  Literal `in` scans are
+# C-speed; only texts passing the gate (or non-ASCII texts) pay the
+# 13-branch regex.  Gate-positive does NOT imply a match — the regexes
+# still decide — so semantics are exactly the old any().
+_HALLUC_LITERAL_STEMS = [
+    "use a standard font",
+    "print on ",
+    "include ",          # covers all three Include patterns
+    "page numbers",
+    "captions",
+    "proofread your work",
+    "spaced",            # covers double/single[- ]spaced
+    "times new roman",
+    "formatting guidelines",
+    "submission guidelines",
+    "page margins",
+]
 
 _CID_RE = re.compile(r"\(cid:\d+\)")
 _SENTENCE_SPLIT_RE = re.compile(r"[.!?]\s+")
@@ -97,6 +123,18 @@ _MD_HEADER_RE = re.compile(r"^#+\s+\w", re.MULTILINE)
 _NUM_LIST_RE = re.compile(r"^\d+\.\s+\w", re.MULTILINE)
 _BULLET_RE = re.compile(r"^[-*•]\s+\w", re.MULTILINE)
 _LATEX_CHARS = frozenset("\\{}^_$")
+# Combined any-of scans for the boolean consumers in ``check`` — one
+# pass over the text instead of three (identical truthiness: an
+# alternation matches iff some branch matches).  Group numbers are
+# per-branch so the backreferences stay correct; the word-repeat branch
+# keeps its IGNORECASE via a scoped inline flag.
+_REPEAT_ANY_RE = re.compile(
+    r"(.)\1{4,}|(?i:\b(\w+)\s+\2\s+\2\b)|(..)\3{3,}"
+)
+_UNICODE_ANY_RE = re.compile("[\ue000-\uf8ff\x00-\x08\x0b\x0c\x0e-\x1f]")
+_STRUCTURE_ANY_RE = re.compile(
+    r"^(?:#+\s+\w|\d+\.\s+\w|[-*•]\s+\w)", re.MULTILINE
+)
 
 DEFAULT_MIN_WORD_COUNT = 50
 DEFAULT_MAX_GARBAGE_RATIO = 0.15
@@ -107,11 +145,16 @@ DEFAULT_MAX_AVG_WORD_LENGTH = 15.0
 def check_refusal(text: str) -> bool:
     """Refusal near the top of short output (heuristics.py:236-252).
 
-    maxsplit bounds the tokenization cost on huge docs; the combined
-    alternation is one scan instead of ten (identical any() semantics).
+    maxsplit bounds the tokenization cost on huge docs.  ASCII text
+    takes the literal-scan fast path (provably identical to the
+    IGNORECASE regex for literal patterns); anything else keeps the
+    combined alternation (identical any() semantics either way).
     """
     is_short = len(text.split(None, 200)) < 200
     search_text = text if is_short else text[:500]
+    if search_text.isascii():
+        low = search_text.lower()
+        return any(lit in low for lit in _REFUSAL_LITERALS)
     return bool(_REFUSAL_ANY_RE.search(search_text))
 
 
@@ -134,9 +177,16 @@ def check_hallucination_loops(text: str) -> bool:
 
 
 def count_formatting_hallucination(text: str) -> int:
-    # one combined scan rejects the (overwhelmingly common) clean case;
-    # only texts with at least one hit pay the per-pattern count
-    if not _HALLUC_ANY_RE.search(text):
+    # the clean-case gate rejects the overwhelmingly common no-match
+    # text cheaply; only gate-positive texts pay the per-pattern count.
+    # ASCII texts gate on C-speed literal stems (a regex match implies
+    # its stem is present, so the gate never drops a real match);
+    # non-ASCII texts gate on the combined alternation as before.
+    if text.isascii():
+        low = text.lower()
+        if not any(stem in low for stem in _HALLUC_LITERAL_STEMS):
+            return 0
+    elif not _HALLUC_ANY_RE.search(text):
         return 0
     return sum(1 for r in _HALLUC_RES if r.search(text))
 
@@ -183,14 +233,12 @@ def repeated_patterns(text: str) -> list[str]:
 
 
 def has_structure(text: str) -> bool:
-    """Recognizable markdown structure (heuristics.py:352-371)."""
-    if _MD_HEADER_RE.search(text):
+    """Recognizable markdown structure (heuristics.py:352-371); the
+    combined alternation is one scan over the text instead of three
+    (identical boolean)."""
+    if _STRUCTURE_ANY_RE.search(text):
         return True
-    if _NUM_LIST_RE.search(text):
-        return True
-    if _BULLET_RE.search(text):
-        return True
-    return len(text.split("\n\n")) > 2
+    return text.count("\n\n") > 1
 
 
 def check(
@@ -282,12 +330,13 @@ def check(
     if g_ratio > max_garbage_ratio and not math_dense:
         _fail("Garbage ratio", GARBAGE, "error")
 
-    # Q10: unicode issues (warning)
-    if unicode_issues(text):
+    # Q10: unicode issues (warning) — combined single-scan truthiness
+    # (the issue LABELS are only needed by the public unicode_issues)
+    if "�" in text or _UNICODE_ANY_RE.search(text):
         _fail("Unicode issues", None, "warning")
 
-    # Q11: repeated patterns (warning)
-    if repeated_patterns(text):
+    # Q11: repeated patterns (warning) — combined single-scan truthiness
+    if _REPEAT_ANY_RE.search(text):
         _fail("Repeated patterns", None, "warning")
 
     return _result(

@@ -20,13 +20,37 @@ from collections.abc import Sequence
 
 
 def levenshtein(seq_a: Sequence, seq_b: Sequence) -> int:
-    """Edit distance with single-row DP (reference scorer.py:42-76)."""
+    """Edit distance (reference scorer.py:42-76) — identical integers,
+    faster constants:
+
+      * common prefix/suffix stripped first (a standard edit-distance
+        invariant: matching ends never contribute) — near-identical
+        inputs, the overwhelmingly common case in attempt scoring,
+        collapse to a DP over just the differing middle;
+      * the inner DP row is vectorized with numpy past a small size
+        (the sequential ``curr[j-1]+1`` chain becomes an exact
+        min-plus prefix via ``minimum.accumulate``); the scalar DP
+        remains for short remainders where numpy overhead loses.
+    """
+    m, n = len(seq_a), len(seq_b)
+    # strip the common prefix, then the common suffix of the remainder
+    start = 0
+    stop = min(m, n)
+    while start < stop and seq_a[start] == seq_b[start]:
+        start += 1
+    end_a, end_b = m, n
+    while end_a > start and end_b > start and seq_a[end_a - 1] == seq_b[end_b - 1]:
+        end_a -= 1
+        end_b -= 1
+    seq_a, seq_b = seq_a[start:end_a], seq_b[start:end_b]
     m, n = len(seq_a), len(seq_b)
     if m < n:
         seq_a, seq_b = seq_b, seq_a
         m, n = n, m
     if n == 0:
         return m
+    if n >= 24:
+        return _levenshtein_np(seq_a, seq_b, n)
     prev = list(range(n + 1))
     curr = [0] * (n + 1)
     for i in range(1, m + 1):
@@ -39,12 +63,45 @@ def levenshtein(seq_a: Sequence, seq_b: Sequence) -> int:
     return prev[n]
 
 
+def _levenshtein_np(seq_a: Sequence, seq_b: Sequence, n: int) -> int:
+    """Row-vectorized DP, exact: ``cand[j] = min(prev[j]+1,
+    prev[j-1]+cost)`` is elementwise; the remaining left-to-right
+    recurrence ``curr[j] = min(cand[j], curr[j-1]+1)`` equals
+    ``min over i<=j of cand'[i] + (j-i)`` (cand'[0] = row index), an
+    exact min-plus prefix computed as ``minimum.accumulate(cand[j]-j)
+    + j``.  Elements are dictionary-encoded to int64 so the equality
+    scan is a C-level compare."""
+    import numpy as np
+
+    code: dict = {}
+    b_enc = np.fromiter(
+        (code.setdefault(x, len(code)) for x in seq_b), dtype=np.int64, count=n
+    )
+    a_enc = [code.setdefault(x, len(code)) for x in seq_a]
+    idx = np.arange(n + 1, dtype=np.int64)
+    prev = idx.copy()
+    buf = np.empty(n + 1, dtype=np.int64)
+    for i, ai in enumerate(a_enc, 1):
+        cost = (b_enc != ai).astype(np.int64)
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        buf[0] = i
+        np.subtract(cand, idx[1:], out=buf[1:])
+        prev = np.minimum.accumulate(buf) + idx
+    return int(prev[n])
+
+
 def wer(hypothesis: str, reference: str) -> float:
     """Word Error Rate = dist(ref_words, hyp_words)/len(ref_words).
 
     Lowercased word tokens (reference consensus.py:85-100).  0.0 when both
     empty, 1.0 when only the reference is empty; may exceed 1.0.
     """
+    if hypothesis == reference:
+        # identical strings ⇒ identical word lists ⇒ distance 0 — and
+        # the both-empty branch below also returns 0.0, so this fast
+        # path is exact.  Agreement between byte-identical attempts is
+        # the common case in the selection pass.
+        return 0.0
     ref_words = reference.lower().split()
     hyp_words = hypothesis.lower().split()
     if not ref_words:

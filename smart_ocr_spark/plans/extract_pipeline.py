@@ -148,13 +148,19 @@ def run_extraction(
         failed_with_payload = join_payloads_for_repair(
             documents, failed, n_failed=n_failed
         )
+        # Persist ONLY the repaired subset — O(failures) rows — and keep
+        # the parent cache live.  The previous shape re-persisted and
+        # re-counted the ENTIRE frame each round (union → persist →
+        # count → unpersist parent), i.e. two extra corpus-sized cache
+        # materializations per repair round; at corpus scale that is a
+        # full rewrite of the working set to recompute 1-5% of rows.
+        # The union below is lazy: its passing side is the already-
+        # cached parent filter, so no row is ever cached twice, and the
+        # next round's ``failed.count()`` (or the caller's first
+        # action) materializes the small repaired cache on demand.
         repaired = ops.fused_repair_round(failed_with_payload, chain=chain)
-        new_df = df.filter(~retriable).unionByName(repaired).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        new_df.count()  # materialize before dropping the parent
-        df.unpersist()
-        df = new_df
+        repaired = repaired.persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.filter(~retriable).unionByName(repaired)
 
     df = ops.with_selection(df)
     if embed_figures:
