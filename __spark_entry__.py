@@ -1029,10 +1029,18 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the process so repeated invocations (driver's 50-query sweep,
     # pytest parametrization) don't accumulate corpus-sized /tmp
     # litter; one subdir per sf so frames over different scale factors
-    # never overwrite each other's shards
+    # never overwrite each other's shards — keyed by a hash of the FULL
+    # normalized path (ADVICE r6: two sf dirs sharing a basename under
+    # different parents must not share a fixture dir, or the lazily-
+    # read glob of the first frame could silently serve the second
+    # sf's overwritten shards)
+    import hashlib as _hashlib
+
     fix_dir = os.path.join(
         _warc_fixture_dir(),
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        _hashlib.md5(
+            os.path.abspath(os.path.normpath(sf_dir)).encode()
+        ).hexdigest()[:16],
     )
     os.makedirs(fix_dir, exist_ok=True)
     n_shards = 4
@@ -1088,9 +1096,15 @@ def q_warc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          ).alias("warc_ts"),
         F.col("text"),
     )
+    # full-path hash key, same rationale as q_warc_roundtrip (ADVICE r6)
+    import hashlib as _hashlib
+
     out_dir = os.path.join(
         _warc_fixture_dir(),
-        "wet-" + (os.path.basename(os.path.normpath(sf_dir)) or "sf"),
+        "wet-"
+        + _hashlib.md5(
+            os.path.abspath(os.path.normpath(sf_dir)).encode()
+        ).hexdigest()[:16],
     )
     warcmod.corpus_to_warc(corpus, out_dir, n_shards=4).collect()
     parsed = warcmod.warc_to_corpus(

@@ -160,12 +160,11 @@ def ngram_jaccard_pairs(
         ``min(n_sh)`` — the old separate ``sizes`` frame cost two extra
         joins AND two extra evaluations of the Python shingle pass
         (each join probe side was its own subtree);
-      * both self-join sides are the IDENTICAL subplan, so ReuseExchange
-        evaluates the shingle pass + exchange once for the pair join —
-        with the old five-subtree formulation the corpus was shingled
-        SIX times (12 ArrowEvalPython nodes in the round-6 plan; now 4
-        nodes = 2 evaluations: the singleton-prune build side and the
-        reused join input);
+      * both self-join sides are the IDENTICAL subplan (as are the two
+        singleton-prune build sides), so runtime stage reuse can
+        evaluate each once — the old five-subtree formulation shingled
+        the corpus SIX times (6 ArrowEvalPython nodes in the round-6
+        plan; now 4, in two byte-identical pairs);
       * :func:`spread_scan` unlocks every core under the Python pass on
         single-split sources (guide §2/§6) — a no-op for well-laid-out
         tables.
@@ -191,7 +190,14 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, on="shingle")
+        # MERGE hint: without it the planner broadcast-joins the entire
+        # exploded inverted index (post-UDF size estimates are tiny), a
+        # driver collect + rebroadcast of a tokens-scale frame — wrong
+        # at any size and fatal at corpus scale.  The sort-merge join
+        # shuffles both sides by shingle; the two sides are the same
+        # subplan, so ReuseExchange computes the shingle pass + its
+        # exchange ONCE for the pair join.
+        a.join(b.hint("merge"), on="shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
@@ -230,7 +236,6 @@ def minhash_signatures(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     id_type: str = "bigint",
-    include_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature + band keys, all JVM-side.
 
@@ -241,15 +246,11 @@ def minhash_signatures(
     Entirely map-local (hashlib inside one Arrow batch — MD5 is MD5,
     byte-identical to Spark/DuckDB ``md5()``): no explode, no shuffle at
     all. Docs with zero shingles (<k tokens) emit no row, matching the
-    explode+groupBy formulation and the SQL oracle.
-
-    ``include_shingles`` also emits the distinct shingle set as an
-    ``array<string>`` column — already computed for the signatures, so
-    carrying it out of the batch is free when a caller wants a single
-    fused pass.  Do NOT persist the resulting frame: the arrays are
-    corpus-scale (~k× token volume).  :func:`minhash_dedup_pairs`
-    instead pins the narrow default frame and shingles only the
-    candidate subset.
+    explode+groupBy formulation and the SQL oracle.  Do NOT persist a
+    shingle-carrying variant of this frame: :func:`minhash_dedup_pairs`
+    pins the narrow (id, sigs, bands) frame and shingles only the
+    candidate subset.  (The old ``include_shingles`` escape hatch was
+    dead surface — no caller, no test — and is gone; VERDICT r6 #2.)
     """
     import hashlib
 
@@ -260,8 +261,6 @@ def minhash_signatures(
     out_schema = f"{id_col} {id_type}, " + ", ".join(
         f"{c} string" for c in sig_names + band_names
     )
-    if include_shingles:
-        out_schema += ", shingles array<string>"
 
     def run(batches):
         for pdf in batches:
@@ -283,14 +282,8 @@ def minhash_signatures(
                     ).hexdigest()
                     for b in range(n_bands)
                 ]
-                row = (doc_id, *sigs, *bands)
-                if include_shingles:
-                    row = row + (shingle_strs,)
-                rows.append(row)
-            cols = [id_col] + sig_names + band_names
-            if include_shingles:
-                cols.append("shingles")
-            yield pd.DataFrame(rows, columns=cols)
+                rows.append((doc_id, *sigs, *bands))
+            yield pd.DataFrame(rows, columns=[id_col] + sig_names + band_names)
 
     # spread_scan: the signature pass is the most Python-CPU-heavy map
     # in the dedup family (8 MD5s per shingle); a single-split source
@@ -382,20 +375,22 @@ def minhash_dedup_pairs(
     sh_b = shingled.select(
         F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b")
     )
+    shared_sz = F.size(F.array_intersect("_sh_a", "_sh_b"))
     jac = F.round(
-        F.size(F.array_intersect("_sh_a", "_sh_b"))
-        / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+        shared_sz / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
         4,
     )
     return (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        # jaccard > 0 mirrors the inverted index exactly: a band-hash
+        # shared >= 1 on the UNROUNDED intersection mirrors the
+        # inverted index exactly at every threshold: a band-hash
         # collision between disjoint shingle sets was never a pair
-        # there (shared >= 1), so it is not a pair here either — even
-        # at threshold 0
-        .where((F.col("jaccard") >= threshold) & (F.col("jaccard") > 0))
+        # there, and (ADVICE r6) a true-but-tiny overlap that ROUNDS
+        # to 0.0000 must survive threshold 0 like it does there —
+        # the old `jaccard > 0` gate dropped it
+        .where((jac >= threshold) & (shared_sz >= 1))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 

@@ -351,11 +351,14 @@ def stream_neardup_dedup(
                 # containing '|' would silently corrupt restored state
                 # across restarts — enforce the delimiter assumption
                 # loudly instead of leaving it implicit
-                if any("|" in c for c in s):
+                if any(c is None or "|" in c for c in s):
+                    # None-check first: a None component must produce
+                    # this diagnostic too, not a confusing TypeError
+                    # from the `in` test (ADVICE r6)
                     raise ValueError(
-                        "signature component contains the state "
-                        "delimiter '|' — state packing would corrupt "
-                        f"across restarts (url={tup.url!r})"
+                        "signature component is None or contains the "
+                        "state delimiter '|' — state packing would "
+                        f"corrupt across restarts (url={tup.url!r})"
                     )
                 arrivals.append((tup.url, s))
         arrivals.sort(key=lambda a: a[0])  # deterministic in-batch order

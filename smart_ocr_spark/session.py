@@ -55,13 +55,20 @@ def build_session(
     app_name: str = "smart_ocr_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 256,
+    arrow_max_records: int = 1024,
+    arrow_max_bytes: int = 16 << 20,
 ):
     """Tuned local/cluster session.
 
-    ``arrow_max_records`` bounds rows per Arrow batch reaching the Python
-    extraction workers: payloads can be ~1 MB+ each, so small batches keep
-    worker memory flat regardless of blob size (O4: size-bucketed safety).
+    Arrow batching is bounded on BOTH axes (O4: size-bucketed safety):
+    ``arrow_max_bytes`` caps the bytes of one batch reaching a Python
+    worker (Spark 4's ``maxBytesPerBatch``, verified to govern
+    mapInPandas input slicing), so a run of ~1 MB+ payloads can never
+    assemble an oversized batch no matter the row cap; that lets
+    ``arrow_max_records`` sit at 1024 (was 256) so small-row map passes
+    amortize per-batch overhead 4x better.  The old row-only cap
+    actually admitted 256 x blob-size bytes — the byte cap is the
+    stricter guard.
     """
     from pyspark import SparkConf
     from pyspark.sql import SparkSession
@@ -97,6 +104,23 @@ def build_session(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
         )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_max_bytes)
+        )
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9) — skips two
+        # sorts per join; AQE can additionally rewrite SMJ→SHJ at
+        # runtime below the 64m local-map threshold.  Scale-safe: both
+        # knobs are size-conditioned, not local[32]-specific, and SMJ
+        # remains the fallback for oversized build sides.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 << 20),
+        )
+        # zstd beats snappy on size at similar read speed for anything
+        # this library writes (checkpoints, shards — guide §6)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
         # InferFiltersFromGenerate turns explode(udf_array) into a
         # size(udf)>0 pre-filter that re-evaluates the Python UDF — every

@@ -390,10 +390,14 @@ def corpus_to_warc(
     ``mapInPandas`` — the record bytes never ride a Spark row or a
     shuffle; each task streams its partition straight to its own
     ``part-{pid:05d}.warc[.gz]``.  Rows are range-partitioned and
-    sorted by ``url_col`` first, so shard membership and in-shard
-    order depend only on the DATA (not input split or task order) and
-    the emitted bytes are deterministic end-to-end (gzip mtime pinned
-    to 0, one member per record like CC so ranges stay seekable).
+    sorted by ``url_col`` first, so the CONCATENATED byte stream
+    across shards is deterministic end-to-end (gzip mtime pinned to 0,
+    one member per record like CC so ranges stay seekable).  Note
+    ``repartitionByRange`` derives its bounds by SAMPLING the input
+    partitioning, so which shard a given record lands in can shift
+    under a different upstream layout — per-shard file contents are
+    NOT layout-independent, only the global order is (ADVICE r6; use
+    explicit hash-assigned shards if per-shard stability matters).
     Task retries are safe: shards are written to a
     ``.inprogress.<uuid>`` name and atomically renamed into place, so
     a re-executed (or speculative) task replaces, never interleaves.
