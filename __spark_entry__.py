@@ -37,12 +37,23 @@ from smart_ocr_spark.functions.spread import spread_scan
 _TABLE_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _is_stopped(session: SparkSession) -> bool:
+    try:
+        return session.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     key = (id(spark), path)
     hit = _TABLE_MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    # miss: evict entries for stopped sessions so a test run that
+    # builds and stops many sessions doesn't accumulate dead plans
+    for k in [k for k, (s, _) in _TABLE_MEMO.items() if _is_stopped(s)]:
+        _TABLE_MEMO.pop(k, None)
     df = spark.read.parquet(path)
     _TABLE_MEMO[key] = (spark, df)
     return df

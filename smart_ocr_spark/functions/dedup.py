@@ -186,7 +186,13 @@ def ngram_jaccard_pairs(
     nonsingleton = (
         sh.groupBy("shingle").count().where(F.col("count") > 1).select("shingle")
     )
-    sh = sh.join(nonsingleton, "shingle", "left_semi")
+    # MERGE hint on the prune too: the nonsingleton vocabulary is
+    # tokens-scale at corpus size and sits downstream of a UDF (bogus
+    # tiny size estimate), so an unhinted planner would collect and
+    # broadcast it from the driver — the same misplan as the pair join
+    # below.  Bonus: the semi's output is already partitioned by
+    # shingle, which is exactly the pair join's requirement.
+    sh = sh.join(nonsingleton.hint("merge"), "shingle", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -381,8 +387,14 @@ def minhash_dedup_pairs(
         4,
     )
     return (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        # MERGE hints: sh_a/sh_b carry candidate docs' full shingle
+        # arrays downstream of a pandas UDF, so their size estimates
+        # are bogus-small — an unhinted plan would broadcast
+        # corpus-scale arrays from the driver on a heavily-duplicated
+        # dump; sort-merge shuffles them once, keyed by doc id, and
+        # spills gracefully
+        cands.join(sh_a.hint("merge"), "doc_a")
+        .join(sh_b.hint("merge"), "doc_b")
         # shared >= 1 on the UNROUNDED intersection mirrors the
         # inverted index exactly at every threshold: a band-hash
         # collision between disjoint shingle sets was never a pair
@@ -453,7 +465,13 @@ def minhash_incremental_new_docs(
     shared = (
         sh_n.select(F.col(id_col).alias("new_id"), "shingle")
         .join(
-            sh_h.select(F.col(id_col).alias("hist_id"), "shingle"), "shingle"
+            # merge hint: post-UDF exploded shingles carry bogus-small
+            # estimates; never let the planner broadcast a tokens-scale
+            # stream (same rationale as ngram_jaccard_pairs)
+            sh_h.select(F.col(id_col).alias("hist_id"), "shingle").hint(
+                "merge"
+            ),
+            "shingle",
         )
         .groupBy("new_id", "hist_id")
         .agg(F.count(F.lit(1)).alias("shared"))

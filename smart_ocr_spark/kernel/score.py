@@ -50,7 +50,13 @@ def levenshtein(seq_a: Sequence, seq_b: Sequence) -> int:
     if n == 0:
         return m
     if n >= 24:
-        return _levenshtein_np(seq_a, seq_b, n)
+        try:
+            return _levenshtein_np(seq_a, seq_b, n)
+        except TypeError:
+            # unhashable elements can't be dictionary-encoded; the
+            # public contract is any Sequence — fall through to the
+            # scalar DP, which only needs equality
+            pass
     prev = list(range(n + 1))
     curr = [0] * (n + 1)
     for i in range(1, m + 1):

@@ -107,13 +107,14 @@ def build_session(
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_max_bytes)
         )
-        # Let the planner pick shuffled-hash over sort-merge when the
-        # per-partition build side fits (guide §3.1/§9) — skips two
-        # sorts per join; AQE can additionally rewrite SMJ→SHJ at
-        # runtime below the 64m local-map threshold.  Scale-safe: both
-        # knobs are size-conditioned, not local[32]-specific, and SMJ
-        # remains the fallback for oversized build sides.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash joins (no sorts) are enabled ONLY through AQE's
+        # runtime rewrite, which sees the REAL post-shuffle sizes
+        # (guide §3.1).  The static planner knob
+        # (preferSortMergeJoin=false) is deliberately left at its
+        # default: planner-side SHJ selection trusts size ESTIMATES,
+        # and frames downstream of Python UDFs carry bogus-small ones
+        # in this library — a tokens-scale build side would pass the
+        # static gate and OOM where sort-merge spills.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 << 20),
